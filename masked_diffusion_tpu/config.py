@@ -1,0 +1,142 @@
+"""Experiment configuration.
+
+One dataclass replaces the reference's three stacked config layers (argparse with
+~60 flags, 82 bash launch scripts, accelerate YAML process topology — reference
+main_train_masked.py:347-419 and code/script/**). Field names and defaults match
+the reference argparse surface so launch scripts translate 1:1; the CLI shim in
+cli/main_train_masked.py exposes the same flag names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # ------------------------------------------------------------------ dirs / task
+    use_wandb: bool = True
+    use_mlflow: bool = True
+    task: str = "train"  # train | sample | dataset
+    content: str = "test_code"
+    dir_work: str = "./"
+    dir_dataset: str = "/nas2/dataset"
+    data_name: str = "mnist"
+    data_set: str = "train"
+    data_size: int = 64
+    data_subset: bool = False
+    data_subset_num: int = 1000
+    date: str = ""
+    time: str = ""
+    wandb_name: str = "diffusion"
+    method: str = "base"  # base | mean_shift | test
+    test_method: str = "base"
+    title: str = ""
+    # ------------------------------------------------------------------ model / optim
+    model: str = "default"
+    batch_size: int = 128
+    in_channel: int = 3
+    out_channel: int = 3
+    num_attention: int = 1
+    num_epochs: int = 1000
+    optim: str = "adamw"  # adam | adamw | sgd
+    lr: float = 1e-4
+    lr_scheduler: str = "linear"  # cosine | hard_cosine | constant | linear
+    lr_warmup_steps: int = 500
+    lr_cycle: float = 0.5
+    gradient_accumulation_steps: int = 1
+    mixed_precision: str = "no"  # no | fp16 | bf16  (bf16 is the TPU-native choice)
+    # ------------------------------------------------------------------ ema / diffusion process
+    use_ema: bool = True
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 3.0 / 4.0
+    ema_max_decay: float = 0.9999
+    loss_weight_use: bool = False
+    loss_weight_power_base: float = 10.0
+    loss_space: str = "x_0"
+    ddpm_num_steps: int = 1000
+    updated_ddpm_num_steps: int = 1000  # filled in after schedule dedup
+    ddpm_schedule: str = "linear"  # linear | log | exponential | sigmoid
+    ddpm_schedule_base: float = 10.0
+    scheduler_num_scale_timesteps: int = 1
+    select_degrade_pixel: str = "indexing"  # indexing | thresholding
+    degrade_channel: str = "1-channel"  # 1-channel | 3-channel
+    mean_option: Any = 0  # float-like | 'degraded_area' | 'non_degraded_area' | '0'
+    mean_area: str = "image-wise"  # image-wise | channel-wise
+    mean_value_accumulate: bool = False
+    shift_type: str = "noise_with_perturbation"
+    # ['1-d_constant','3-d_constant','noise_reduction','noise_std_reduction',
+    #  'noise_with_perturbation','non_shift']
+    noise_mean: float = 0.0
+    # ------------------------------------------------------------------ sampling
+    sample_latent_shape: str = "data"  # data | zero | normal | uniform | grid
+    sampling: str = "base"  # base | momentum
+    momentum_adaptive: str = "base_momentum"
+    # ['base_momentum','base_sampling','momentum','boosting']
+    adaptive_decay_rate: float = 0.999
+    adaptive_momentum_rate: float = 0.9
+    sampling_mask_dependency: str = "independent"
+    # ['dependent_prev','independent','dependent_t']
+    sample_num: int = 100
+    sample_epoch_ratio: float = 0.2
+    resume_from_checkpoint: str = "False"
+    num_workers: int = 32
+    checkpointing_steps: int = 500
+    save_images_epochs: int = 10
+    output_dir: Optional[str] = None
+    # ------------------------------------------------------------------ test
+    test_model_path: Optional[str] = None
+    # ------------------------------------------------------------------ TPU-native extensions
+    seed: int = 0
+    mesh_data: int = -1  # -1: all local devices on the data axis
+    mesh_model: int = 1  # reserved tensor-parallel axis
+    capture_trajectory: bool = False  # sampler keeps per-step buffers (HBM-heavy)
+    block_out_channels: Optional[tuple] = None  # override UNet widths (tests/bench)
+    layers_per_block: int = 2
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+    # ------------------------------------------------------------------ helpers
+    @property
+    def weight_dtype(self) -> str:
+        if self.mixed_precision == "bf16":
+            return "bfloat16"
+        if self.mixed_precision == "fp16":
+            # fp16 has no TPU fast path; route to bf16 (documented divergence —
+            # the reference uses AMP fp16 on CUDA, main_train_masked.py:229-238)
+            return "bfloat16"
+        return "float32"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["weight_dtype"] = self.weight_dtype
+        return d
+
+    def save_option(self, dir_save: str) -> str:
+        """Dump all options as option.ini (JSON), mirroring the reference's
+        save_option (main_train_masked.py:338-343)."""
+        filename = os.path.join(dir_save, "option.ini")
+        with open(filename, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)
+        return filename
+
+
+def parse_mean_option(mean_option: Any):
+    """Resolve the polymorphic --mean_option flag.
+
+    Returns ('const', value) for numeric options (including the string "0"),
+    or ('degraded_area'|'non_degraded_area', None). Mirrors the reference's
+    try/float(...)/except dispatch (scheduler.py:298-317).
+    """
+    try:
+        return "const", float(mean_option)
+    except (TypeError, ValueError):
+        pass
+    if mean_option in ("degraded_area", "non_degraded_area"):
+        return mean_option, None
+    raise ValueError(f"unsupported mean_option: {mean_option!r}")

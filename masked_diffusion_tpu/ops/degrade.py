@@ -1,0 +1,363 @@
+"""Vectorized mask generation and mean-fill degradation ops (NHWC, TPU-first).
+
+The reference generates per-image random pixel masks with a host-side Python
+loop over torch.randperm (scheduler.py:281-284 — its single worst CPU hotspot)
+and fills the masked pixels with a mean value. Here everything is a batched
+device computation:
+
+  * 'indexing' (exact-k pixels): k smallest of per-pixel uniforms via a rank
+    transform (argsort of argsort) — exact pixel counts, fully parallel.
+  * 'thresholding' (binomial count): per-pixel uniform > ratio, 1-channel
+    (shared mask broadcast over channels) or 3-channel (independent per
+    channel) — already the reference's formulation (scheduler.py:286-296).
+  * dependent masks: one shared uniform field thresholded at two levels gives
+    nested masks for adjacent timesteps (scheduler.py:480-549).
+
+Mask convention matches the reference: mask value 1 = kept pixel, 0 = degraded
+("black") pixel. All ops take/return NHWC arrays (TPU conv layout); callers at
+the torch-compat boundary transpose at the edges.
+
+Mean-fill semantics (scheduler.py:298-323, preserved exactly — including the
+sign-flipped 'non_degraded_area' formula and its NaN guard, which is observable
+behavior):
+  const v            : mean = v
+  'degraded_area'    : mean of the degraded pixels, image-wise (B,1,1,1) or
+                       channel-wise (B,1,1,C)
+  'non_degraded_area': -(sum of KEPT pixels)/(count of DEGRADED pixels) per
+                       channel, NaN -> 0
+
+Degradation composition D(x) = (1-m)*mu + m*x (scheduler.py:319).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from masked_diffusion_tpu.config import parse_mean_option
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# mask generation
+# ---------------------------------------------------------------------------
+
+
+def exact_count_masks(key: Array, batch: int, height: int, width: int, counts: Array) -> Array:
+    """Per-image masks with exactly counts[i] zero ("black") pixels.
+
+    Replaces the reference's per-image randperm prefix loop
+    (scheduler.py:281-284): the k smallest of i.i.d. uniforms are a uniform
+    random k-subset, so rank(u) < k selects exactly k pixels.
+
+    Returns (B, H, W, 1) float32 masks (1 = keep, 0 = degraded).
+    """
+    hw = height * width
+    u = jax.random.uniform(key, (batch, hw))
+    order = jnp.argsort(u, axis=1)
+    rank = jnp.argsort(order, axis=1)  # rank[i, p] = position of pixel p in sorted order
+    keep = (rank >= counts.astype(jnp.int32)[:, None]).astype(jnp.float32)
+    return keep.reshape(batch, height, width, 1)
+
+
+def threshold_masks(
+    key: Array,
+    batch: int,
+    height: int,
+    width: int,
+    channels: int,
+    ratios: Array,
+    per_channel: bool,
+) -> Array:
+    """Per-pixel uniform-vs-ratio masks (scheduler.py:286-296).
+
+    per_channel=False -> (B, H, W, 1) shared mask ('1-channel');
+    per_channel=True  -> (B, H, W, C) independent masks ('3-channel').
+    """
+    c = channels if per_channel else 1
+    u = jax.random.uniform(key, (batch, height, width, c))
+    ratios = ratios.astype(jnp.float32).reshape(batch, 1, 1, 1)
+    return (u > ratios).astype(jnp.float32)
+
+
+def nested_threshold_masks(
+    key: Array,
+    batch: int,
+    height: int,
+    width: int,
+    channels: int,
+    ratios_a: Array,
+    ratios_b: Array,
+    per_channel: bool,
+) -> Tuple[Array, Array]:
+    """One shared uniform field thresholded at two levels -> nested masks
+    (degrade_dependent_base_sampling, scheduler.py:494-513)."""
+    c = channels if per_channel else 1
+    u = jax.random.uniform(key, (batch, height, width, c))
+    mask_a = (u > ratios_a.astype(jnp.float32).reshape(batch, 1, 1, 1)).astype(jnp.float32)
+    mask_b = (u > ratios_b.astype(jnp.float32).reshape(batch, 1, 1, 1)).astype(jnp.float32)
+    return mask_a, mask_b
+
+
+def generate_masks(
+    key: Array,
+    img: Array,
+    amount: Array,
+    select_degrade_pixel: str,
+    degrade_channel: str,
+) -> Array:
+    """Dispatch mask generation; returns masks broadcast to img's shape."""
+    b, h, w, c = img.shape
+    if select_degrade_pixel == "indexing":
+        masks = exact_count_masks(key, b, h, w, amount)
+        return jnp.broadcast_to(masks, img.shape)
+    if select_degrade_pixel == "thresholding":
+        per_channel = degrade_channel == "3-channel"
+        masks = threshold_masks(key, b, h, w, c, amount, per_channel)
+        return jnp.broadcast_to(masks, img.shape)
+    raise ValueError(f"unknown select_degrade_pixel: {select_degrade_pixel!r}")
+
+
+# ---------------------------------------------------------------------------
+# mean computation
+# ---------------------------------------------------------------------------
+
+
+def compute_mean_pixel(
+    img: Array,
+    masks: Array,
+    mean_option,
+    mean_area: str,
+) -> Array:
+    """Fill value for degraded pixels (scheduler.py:298-317)."""
+    mode, value = parse_mean_option(mean_option)
+    b, _, _, c = img.shape
+
+    if mode == "const":
+        return jnp.full((b, 1, 1, c), value, dtype=img.dtype)
+
+    inv = 1.0 - masks
+    if mode == "degraded_area":
+        if mean_area == "image-wise":
+            axes = (1, 2, 3)
+        elif mean_area == "channel-wise":
+            axes = (1, 2)
+        else:
+            raise ValueError(f"unknown mean_area: {mean_area!r}")
+        sum_pixel = jnp.sum(img * inv, axis=axes, keepdims=True)
+        count = jnp.sum(inv, axis=axes, keepdims=True)
+        # division by a zero count yields NaN in the reference too, but guard it:
+        # a zero degraded count means nothing gets filled, so the value is inert.
+        return jnp.where(count > 0, sum_pixel / jnp.maximum(count, 1.0), 0.0)
+
+    if mode == "non_degraded_area":
+        # Reference formula (scheduler.py:311-314): channel-wise sums, the
+        # *kept* pixels summed but divided by the *degraded* count, negated,
+        # with NaN -> 0. Preserved verbatim; it is observable behavior.
+        sum_pixel = jnp.sum(img * masks, axis=(1, 2), keepdims=True)
+        count = jnp.sum(inv, axis=(1, 2), keepdims=True)
+        mean = jnp.where(count > 0, sum_pixel / jnp.maximum(count, 1.0) * -1.0, 0.0)
+        return mean
+
+    raise ValueError(f"unsupported mean_option mode: {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# degradation ops
+# ---------------------------------------------------------------------------
+
+
+def degrade_training(
+    key: Array,
+    img: Array,
+    amount: Array,
+    select_degrade_pixel: str,
+    degrade_channel: str,
+    mean_option,
+    mean_area: str,
+) -> Tuple[Array, Array, Array, Array]:
+    """Training-time degradation (scheduler.py:266-323).
+
+    Returns (degrade_img, masks, degrade_mask, mean_mask):
+      degrade_img  = (1-m)*mu + m*x
+      masks        = binary masks broadcast to x
+      degrade_mask = (1-m)*mu + m       (mu on degraded pixels, 1 elsewhere)
+      mean_mask    = mu everywhere
+    """
+    masks = generate_masks(key, img, amount, select_degrade_pixel, degrade_channel)
+    mean_pixel = compute_mean_pixel(img, masks, mean_option, mean_area)
+    inv = 1.0 - masks
+    degrade_img = inv * mean_pixel + masks * img
+    degrade_mask = inv * mean_pixel + masks
+    mean_mask = jnp.broadcast_to(mean_pixel, img.shape)
+    return degrade_img, masks, degrade_mask, mean_mask
+
+
+def degrade_independent_base_sampling(
+    key: Array,
+    img: Array,
+    amount: Array,
+    select_degrade_pixel: str,
+    degrade_channel: str,
+    mean_option,
+    mean_area: str,
+) -> Tuple[Array, Array, Array]:
+    """Sampling-time degradation with a fresh independent mask
+    (scheduler.py:418-477). Returns (degrade_img, degrade_mask, mean_mask)
+    where degrade_mask is the *binary* mask (unlike training)."""
+    masks = generate_masks(key, img, amount, select_degrade_pixel, degrade_channel)
+    mean_pixel = compute_mean_pixel(img, masks, mean_option, mean_area)
+    degrade_img = (1.0 - masks) * mean_pixel + masks * img
+    mean_mask = jnp.broadcast_to(mean_pixel, img.shape)
+    return degrade_img, masks, mean_mask
+
+
+def degrade_dependent_base_sampling(
+    key: Array,
+    img: Array,
+    amount_t: Array,
+    amount_next_t: Array,
+    degrade_channel: str,
+    mean_option,
+    mean_area: str,
+) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Nested masks for (t, t-1) from one shared uniform field
+    (scheduler.py:480-549; thresholding only — the reference's 'indexing'
+    branch is an explicit pass)."""
+    b, h, w, c = img.shape
+    per_channel = degrade_channel == "3-channel"
+    mask_t, mask_next = nested_threshold_masks(
+        key, b, h, w, c, amount_t, amount_next_t, per_channel
+    )
+    mask_t = jnp.broadcast_to(mask_t, img.shape)
+    mask_next = jnp.broadcast_to(mask_next, img.shape)
+
+    mean_t = compute_mean_pixel(img, mask_t, mean_option, mean_area)
+    mean_next = compute_mean_pixel(img, mask_next, mean_option, mean_area)
+
+    degrade_t = (1.0 - mask_t) * mean_t + mask_t * img
+    degrade_next = (1.0 - mask_next) * mean_next + mask_next * img
+    mean_mask_t = jnp.broadcast_to(mean_t, img.shape)
+    mean_mask_next = jnp.broadcast_to(mean_next, img.shape)
+    return degrade_t, mask_t, mean_mask_t, degrade_next, mask_next, mean_mask_next
+
+
+def degrade_with_mask(img: Array, masks: Array, mean_option, mean_area: str) -> Array:
+    """Degrade with a caller-provided mask (scheduler.py:572-598); used by the
+    'dependent_prev' sampling mode to reuse the previous step's mask."""
+    mean_pixel = compute_mean_pixel(img, masks, mean_option, mean_area)
+    return (1.0 - masks) * mean_pixel + masks * img
+
+
+def degrade_index_sampling(
+    index: Array,
+    count_t: Array,
+    img: Array,
+    mean_option,
+    mean_area: str,
+) -> Tuple[Array, Array, Array]:
+    """Degrade the first count_t entries of a fixed per-image pixel permutation
+    (scheduler.py:379-415). `index` is (B, H*W) int32; count is taken from
+    count_t[0] as in the reference (all images share the count at a step).
+
+    jit-friendly formulation: instead of scattering a dynamic-length prefix,
+    mark each permutation slot with its position and keep pixels whose slot
+    position is >= count.
+    """
+    b, h, w, _ = img.shape
+    hw = h * w
+    positions = jnp.broadcast_to(jnp.arange(hw)[None, :], (b, hw))
+    # slot_of_pixel[i, p] = j where index[i, j] == p
+    slot = jnp.zeros((b, hw), dtype=jnp.int32)
+    slot = jax.vmap(lambda s, idx, pos: s.at[idx].set(pos))(slot, index, positions)
+    count = count_t.astype(jnp.int32).reshape(-1)[0]
+    masks = (slot >= count).astype(jnp.float32).reshape(b, h, w, 1)
+    masks = jnp.broadcast_to(masks, img.shape)
+
+    mean_pixel = compute_mean_pixel(img, masks, mean_option, mean_area)
+    degrade_img = (1.0 - masks) * mean_pixel + masks * img
+    mean_mask = jnp.broadcast_to(mean_pixel, img.shape)
+    return degrade_img, masks, mean_mask
+
+
+def degrade_dependent_momentum_sampling(
+    sample_t: Array,
+    sample_0: Array,
+    index_list: Array,
+    index_start: Array,
+    index_end: Array,
+    mean_option,
+) -> Tuple[Array, Array, Array]:
+    """Composite degradation on a shared randperm index list
+    (scheduler.py:326-376): pixels in positions [0, index_start) keep
+    sample_t's values, [index_start, index_end) take sample_0's values, and
+    the rest are mean-filled.
+
+    jit-friendly: per-pixel slot positions compared against the two cut
+    points replace the dynamic-width scatters.
+    """
+    b, h, w, c = sample_t.shape
+    hw = h * w
+    positions = jnp.broadcast_to(jnp.arange(hw)[None, :], (b, hw))
+    slot = jnp.zeros((b, hw), dtype=jnp.int32)
+    slot = jax.vmap(lambda s, idx, pos: s.at[idx].set(pos))(slot, index_list, positions)
+    slot = slot.reshape(b, h, w, 1)
+
+    start = jnp.asarray(index_start, dtype=jnp.int32)
+    end = jnp.asarray(index_end, dtype=jnp.int32)
+    masks_t = (slot < start).astype(jnp.float32)
+    masks_0 = ((slot >= start) & (slot < end)).astype(jnp.float32)
+    mask = (slot < end).astype(jnp.float32)
+
+    preserved = sample_t * masks_t + sample_0 * masks_0
+
+    mode, value = parse_mean_option(mean_option)
+    if mode == "const":
+        mean_pixel = jnp.full((b, 1, 1, c), value, dtype=sample_t.dtype)
+    elif mode == "non_degraded_area":
+        # Reference (scheduler.py:364-367): image-wise sums over the preserved
+        # region divided by the (1-channel) degraded count and channel count.
+        sum_pixel = jnp.sum(preserved * mask, axis=(1, 2, 3), keepdims=True)
+        count = jnp.sum(1.0 - mask, axis=(1, 2, 3), keepdims=True)
+        mean_pixel = jnp.where(count > 0, sum_pixel / jnp.maximum(count, 1.0) / c * -1.0, 0.0)
+    else:
+        raise ValueError(
+            f"mean_option {mean_option!r} unsupported for dependent momentum sampling"
+        )
+
+    noisy_img = (1.0 - mask) * mean_pixel + preserved
+    mean_masks = (1.0 - mask) * mean_pixel
+    return noisy_img, mean_masks, jnp.broadcast_to(mean_pixel, sample_t.shape)
+
+
+def degrade_interpolation_sampling(
+    key: Array,
+    img: Array,
+    amount: Array,
+    mean_option,
+    mean_area: str = "image-wise",
+) -> Tuple[Array, Array, Array]:
+    """One shared mask across the whole batch (scheduler.py:552-569), used by
+    the interpolation sampler so every latent sees the same degradation."""
+    b, h, w, c = img.shape
+    u = jax.random.uniform(key, (1, h, w, 1))
+    ratios = amount.astype(jnp.float32).reshape(b, 1, 1, 1)
+    masks = (jnp.broadcast_to(u, (b, h, w, 1)) > ratios).astype(jnp.float32)
+    masks = jnp.broadcast_to(masks, img.shape)
+
+    mode, value = parse_mean_option(mean_option)
+    if mode == "const":
+        mean_pixel = jnp.full((b, 1, 1, c), value, dtype=img.dtype)
+    else:
+        # reference falls through to image-wise degraded-area mean (:561-563)
+        inv = 1.0 - masks
+        sum_pixel = jnp.sum(img * inv, axis=(1, 2, 3), keepdims=True)
+        count = jnp.sum(inv, axis=(1, 2, 3), keepdims=True)
+        mean_pixel = jnp.where(count > 0, sum_pixel / jnp.maximum(count, 1.0), 0.0)
+
+    degrade_img = (1.0 - masks) * mean_pixel + masks * img
+    mean_mask = jnp.broadcast_to(mean_pixel, img.shape)
+    return degrade_img, masks, mean_mask

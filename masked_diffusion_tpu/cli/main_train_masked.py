@@ -1,0 +1,262 @@
+"""CLI entry point — flag-compatible with the reference main_train_masked.py.
+
+Same flag names, defaults, and method dispatch (base / mean_shift / test,
+main_train_masked.py:327-333,346-419); the implementation is the TPU-native
+stack. Launch directly (no accelerate wrapper needed):
+
+    python -m masked_diffusion_tpu.cli.main_train_masked --method mean_shift \
+        --data_name synthetic --data_size 32 ...
+
+Multi-chip data parallelism comes from the device mesh instead of process
+replication; on multi-host pods call jax.distributed via --multihost.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def str2bool(v) -> bool:
+    # the reference uses type=eval for booleans (main_train_masked.py:351)
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # ---- dirutils inputs (main_train_masked.py:347-367)
+    p.add_argument("--use_wandb", type=str2bool, default=True)
+    p.add_argument("--use_mlflow", type=str2bool, default=True)
+    p.add_argument("--task", type=str, choices=["train", "sample", "dataset"], default="train")
+    p.add_argument("--content", type=str, default="test_code")
+    p.add_argument("--dir_work", type=str, default="./")
+    p.add_argument("--dir_dataset", type=str, default="/nas2/dataset")
+    p.add_argument("--data_name", type=str, default="mnist")
+    p.add_argument("--data_set", type=str, default="train")
+    p.add_argument("--data_size", type=int, default=64)
+    p.add_argument("--data_subset", type=str2bool, default=False)
+    p.add_argument("--data_subset_num", type=int, default=1000)
+    p.add_argument("--date", type=str, default="")
+    p.add_argument("--time", type=str, default="")
+    p.add_argument("--wandb_name", type=str, default="diffusion")
+    p.add_argument("--method", type=str, default="base")
+    p.add_argument("--test_method", type=str, default="base")
+    p.add_argument("--title", type=str, default="")
+    # ---- model / optim (:369-381)
+    p.add_argument("--model", type=str, default="default")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--in_channel", type=int, default=3)
+    p.add_argument("--out_channel", type=int, default=3)
+    p.add_argument("--num_attention", type=int, default=1)
+    p.add_argument("--num_epochs", type=int, default=1000)
+    p.add_argument("--optim", type=str, choices=["adam", "adamw", "sgd"], default="adamw")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", type=str, default="linear")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--lr_cycle", type=float, default=0.5)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "fp16", "bf16"])
+    # ---- ema / process (:383-401)
+    p.add_argument("--use_ema", type=str2bool, default=True)
+    p.add_argument("--ema_inv_gamma", type=float, default=1.0)
+    p.add_argument("--ema_power", type=float, default=3 / 4)
+    p.add_argument("--ema_max_decay", type=float, default=0.9999)
+    p.add_argument("--loss_weight_use", type=str2bool, default=False)
+    p.add_argument("--loss_weight_power_base", type=float, default=10.0)
+    p.add_argument("--loss_space", type=str, default="x_0")
+    p.add_argument("--ddpm_num_steps", type=int, default=1000)
+    p.add_argument("--updated_ddpm_num_steps", type=int, default=1000)
+    p.add_argument("--ddpm_schedule", type=str, default="linear")
+    p.add_argument("--ddpm_schedule_base", type=float, default=10.0)
+    p.add_argument("--scheduler_num_scale_timesteps", type=int, default=1)
+    p.add_argument("--select_degrade_pixel", default="indexing")
+    p.add_argument("--degrade_channel", type=str, default="1-channel")
+    p.add_argument("--mean_option", default=0)
+    p.add_argument("--mean_area", default="image-wise", choices=["channel-wise", "image-wise"])
+    p.add_argument("--mean_value_accumulate", type=str2bool, default=False)
+    p.add_argument(
+        "--shift_type", type=str, default="noise_with_perturbation",
+        choices=[
+            "1-d_constant", "3-d_constant", "noise_reduction",
+            "noise_std_reduction", "noise_with_perturbation", "non_shift",
+        ],
+    )
+    p.add_argument("--noise_mean", type=float, default=0)
+    # ---- sampling (:403-415)
+    p.add_argument(
+        "--sample_latent_shape", type=str, default="data",
+        choices=["data", "zero", "normal", "uniform", "grid"],
+    )
+    p.add_argument("--sampling", type=str, default="base")
+    p.add_argument(
+        "--momentum_adaptive", type=str, default="base_momentum",
+        choices=["base_momentum", "base_sampling", "momentum", "boosting"],
+    )
+    p.add_argument("--adaptive_decay_rate", type=float, default=0.999)
+    p.add_argument("--adaptive_momentum_rate", type=float, default=0.9)
+    p.add_argument(
+        "--sampling_mask_dependency", type=str, default="independent",
+        choices=["dependent_prev", "independent", "dependent_t"],
+    )
+    p.add_argument("--sample_num", type=int, default=100)
+    p.add_argument("--sample_epoch_ratio", type=float, default=0.2)
+    p.add_argument("--resume_from_checkpoint", default="False")
+    p.add_argument("--num_workers", type=int, default=32)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--save_images_epochs", type=int, default=10)
+    p.add_argument("--output_dir", type=str, default=None)
+    # ---- test (:417)
+    p.add_argument("--test_model_path", type=str, default=None)
+    # ---- TPU-native extensions
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--multihost", type=str2bool, default=False)
+    p.add_argument("--capture_trajectory", type=str2bool, default=False)
+    p.add_argument(
+        "--block_out_channels", type=str, default=None,
+        help="comma-separated UNet level widths, e.g. 64,64,128 (default: "
+        "the reference's 128,128,256,256,512,512)",
+    )
+    p.add_argument("--layers_per_block", type=int, default=2)
+    p.add_argument("--profile_dir", type=str, default=None)
+    return p
+
+
+def config_from_args(args) -> "Config":
+    from masked_diffusion_tpu.config import Config
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    if kw.get("block_out_channels"):
+        kw["block_out_channels"] = tuple(
+            int(c) for c in str(kw["block_out_channels"]).split(",")
+        )
+    return Config(**kw)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        from masked_diffusion_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+
+    import jax
+
+    from masked_diffusion_tpu.data.datasets import get_dataset
+    from masked_diffusion_tpu.data.histogram import compute_mean_histogram, empty_histogram
+    from masked_diffusion_tpu.parallel.mesh import make_mesh
+    from masked_diffusion_tpu.utils.dirs import Dir
+    from masked_diffusion_tpu.utils.visualizer import Visualizer
+
+    cfg = config_from_args(args)
+
+    dirs = Dir(
+        task=cfg.task, content=cfg.content, dir_work=cfg.dir_work,
+        dir_dataset=cfg.dir_dataset, data_name=cfg.data_name, data_set=cfg.data_set,
+        data_size=cfg.data_size, date=cfg.date, time=cfg.time,
+        method=cfg.method, title=cfg.title,
+    )
+    np.random.seed(cfg.seed)  # host-side seeding (main_train_masked.py:441-445)
+    cfg.save_option(dirs.list_dir["option"])
+
+    # ---- data (+ mean histogram, main_train_masked.py:46-89)
+    dataset = get_dataset(
+        cfg.dir_dataset, cfg.data_name, cfg.data_size, cfg.data_set,
+        cfg.data_subset, cfg.data_subset_num, seed=cfg.seed,
+    )
+    if cfg.sample_latent_shape.lower() == "data":
+        dataset_hist = compute_mean_histogram(dataset.data, cfg.sample_num, cfg.mean_area)
+    else:
+        dataset_hist = empty_histogram()
+
+    mesh_plan = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    # always-on JSONL metrics sink (log/metrics.jsonl); wandb only if enabled
+    visualizer = Visualizer(cfg, dirs.list_dir["log"])
+
+    print(
+        f"***** Running {cfg.method} *****\n"
+        f"  Num examples = {len(dataset)}\n"
+        f"  Num epochs = {cfg.num_epochs}\n"
+        f"  Batch size per step = {cfg.batch_size}"
+        f" (x{mesh_plan.data_size} data-parallel shards)\n"
+        f"  Gradient accumulation = {cfg.gradient_accumulation_steps}",
+        flush=True,
+    )
+
+    method = cfg.method.lower()
+    if method in ("base", "mean_shift"):
+        from masked_diffusion_tpu.io.checkpoint import find_resume_checkpoint, load_checkpoint
+        from masked_diffusion_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg, dataset, dataset_hist, mesh_plan, visualizer)
+        global_step, first_epoch, resume_step = 0, 0, 0
+        if str(cfg.resume_from_checkpoint) != "False":
+            path = find_resume_checkpoint(
+                cfg.output_dir or dirs.list_dir["checkpoint"], cfg.resume_from_checkpoint
+            )
+            if path is not None:
+                params, ema, opt_state, meta = load_checkpoint(
+                    path, trainer.state.params, trainer.state.ema_params,
+                    trainer.state.opt_state,
+                )
+                trainer.state = trainer.state.replace(
+                    params=params,
+                    ema_params=ema if ema is not None else trainer.state.ema_params,
+                    opt_state=opt_state if opt_state is not None else trainer.state.opt_state,
+                )
+                global_step = int(meta.get("global_step", 0))
+                steps_per_epoch = max(1, dataset.num_batches(cfg.batch_size))
+                first_epoch = global_step // steps_per_epoch
+                resume_step = global_step % steps_per_epoch
+                print(f"Resuming from checkpoint {path} (epoch {first_epoch})")
+            else:
+                print(
+                    f"Checkpoint '{cfg.resume_from_checkpoint}' does not exist. "
+                    "Starting a new training run."
+                )
+        trainer.train(first_epoch, cfg.num_epochs, resume_step, global_step, dirs, visualizer)
+    elif method == "test":
+        from masked_diffusion_tpu.io.checkpoint import load_checkpoint
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.tester import Tester
+        from masked_diffusion_tpu.train.step import create_train_state
+        from masked_diffusion_tpu.train.optim import build_lr_schedule, build_optimizer
+        import jax.numpy as jnp
+
+        model = build_unet(
+            dim_channel=cfg.in_channel, dim_height=cfg.data_size,
+            dim_width=cfg.data_size, num_attention=cfg.num_attention,
+            block_out_channels=cfg.block_out_channels,
+            layers_per_block=cfg.layers_per_block,
+            dtype=jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32,
+        )
+        tx = build_optimizer("adamw", build_lr_schedule("constant", cfg.lr, 0, 1))
+        state = create_train_state(
+            model, jax.random.PRNGKey(cfg.seed),
+            (1, cfg.data_size, cfg.data_size, cfg.in_channel), tx, cfg.use_ema,
+        )
+        if not cfg.test_model_path:
+            raise SystemExit("--test_model_path is required for --method test")
+        params, ema, _, _ = load_checkpoint(
+            cfg.test_model_path, state.params, state.ema_params, None
+        )
+        tester = Tester(cfg, dataset, model, params, ema, dataset_hist=dataset_hist)
+        tester.run(dirs)
+    else:
+        raise SystemExit(f"unknown --method {cfg.method!r}")
+
+    if visualizer is not None:
+        visualizer.finish()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""Model factory mirroring the reference's utils/model.py.
+
+attention_placement maps --num_attention in 1..5 to per-level attention flags
+exactly as utils/model.py:6-20 places Attn blocks in the 6-level UNet2DModel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from masked_diffusion_tpu.models.unet import UNet2D, UNetConfig
+
+_PLACEMENTS = {
+    # num_attention: (down flags, up flags) over 6 levels (utils/model.py:6-20)
+    1: ((0, 0, 0, 0, 1, 0), (0, 1, 0, 0, 0, 0)),
+    2: ((0, 0, 0, 1, 1, 0), (0, 1, 1, 0, 0, 0)),
+    3: ((0, 0, 1, 1, 1, 0), (0, 1, 1, 1, 0, 0)),
+    4: ((0, 1, 1, 1, 1, 0), (0, 1, 1, 1, 1, 0)),
+    5: ((0, 1, 1, 1, 1, 1), (1, 1, 1, 1, 1, 0)),
+}
+
+DEFAULT_BLOCK_OUT_CHANNELS: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+
+
+def attention_placement(num_attention: int, n_levels: int = 6):
+    if num_attention not in _PLACEMENTS:
+        raise NotImplementedError("not implemented")
+    down, up = _PLACEMENTS[num_attention]
+    if n_levels == 6:
+        return tuple(bool(d) for d in down), tuple(bool(u) for u in up)
+    # shrunk configs (tests / tiny benches): keep attention at the deepest
+    # non-final level down and its mirror up, preserving the shape of the map
+    down6, up6 = down, up
+    down = [False] * n_levels
+    up = [False] * n_levels
+    down[max(0, n_levels - 2)] = True
+    up[min(1, n_levels - 1)] = True
+    return tuple(down), tuple(up)
+
+
+def build_unet(
+    dim_channel: int = 3,
+    dim_height: int = 64,
+    dim_width: int = 64,
+    num_attention: int = 1,
+    block_out_channels: Optional[Tuple[int, ...]] = None,
+    layers_per_block: int = 2,
+    dtype=jnp.float32,
+    param_dtype=jnp.float32,
+    remat: bool = False,
+) -> UNet2D:
+    """Equivalent of utils/model.MyModel (utils/model.py:3-33)."""
+    channels = tuple(block_out_channels or DEFAULT_BLOCK_OUT_CHANNELS)
+    attn_down, attn_up = attention_placement(num_attention, len(channels))
+    cfg = UNetConfig(
+        sample_size=dim_height,
+        in_channels=dim_channel,
+        out_channels=dim_channel,
+        block_out_channels=channels,
+        layers_per_block=layers_per_block,
+        attn_down=attn_down,
+        attn_up=attn_up,
+        remat=remat,
+    )
+    return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

@@ -1,0 +1,315 @@
+"""Time-conditioned U-Net denoiser (Flax, NHWC, bf16-ready).
+
+One native U-Net family covering the design space the reference exercises —
+the diffusers UNet2DModel built by utils/model.py:24-32 (6 levels,
+block_out_channels=(128,128,256,256,512,512), layers_per_block=2, optional
+self-attention per level) and the zoo variants in code/models/unet/ (resblocks
++ GroupNorm + self-attention + sinusoidal time embedding). Architecture
+matches UNet2DModel semantics: ResnetBlock2D (GroupNorm→SiLU→Conv with
+time-projection add), Attn blocks with head_dim-partitioned heads, stride-2
+conv downsampling, nearest×2+conv upsampling, skip concatenation, and a
+zero-initialized output conv (unet6.py:414 convention) so the predicted
+residual starts at zero.
+
+TPU notes:
+  * NHWC layout end-to-end — XLA's native conv layout on TPU.
+  * `dtype` is the compute/activation dtype (bfloat16 for MXU throughput);
+    `param_dtype` stays float32. flax modules cast per-op.
+  * attention is a batched einsum; at the reference's resolutions the
+    sequence is ≤ HW = 4096 tokens so XLA's fused attention is sufficient,
+    with a Pallas flash-attention kernel as the opt-in fast path
+    (ops/pallas/attention.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _norm_groups(channels: int, preferred: int = 32) -> int:
+    # keep >=2 channels per group: with one channel per group, GroupNorm
+    # exactly cancels the per-channel time-embedding add in ResnetBlock
+    g = min(preferred, max(1, channels // 2))
+    while channels % g != 0:
+        g -= 1
+    return g
+
+
+def timestep_embedding(
+    timesteps: Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> Array:
+    """Sinusoidal timestep embedding (diffusers Timesteps semantics)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        out = jnp.concatenate([cos, sin], axis=-1)
+    else:
+        out = jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dropout: float = 0.0
+    norm_groups: int = 32
+    norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array, deterministic: bool = True) -> Array:
+        c_in = x.shape[-1]
+        h = nn.GroupNorm(
+            num_groups=_norm_groups(c_in, self.norm_groups), epsilon=self.norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="norm1",
+        )(x)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv1",
+        )(h)
+
+        t = nn.Dense(
+            self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="time_emb_proj",
+        )(nn.silu(temb))
+        h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(
+            num_groups=_norm_groups(self.out_channels, self.norm_groups),
+            epsilon=self.norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm2",
+        )(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv2",
+        )(h)
+
+        if c_in != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv_shortcut",
+            )(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over HW tokens with head_dim-partitioned heads."""
+
+    head_dim: int = 8
+    norm_groups: int = 32
+    norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        heads = max(1, c // self.head_dim)
+        dim_head = c // heads
+
+        hidden = nn.GroupNorm(
+            num_groups=_norm_groups(c, self.norm_groups), epsilon=self.norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="group_norm",
+        )(x)
+        hidden = hidden.reshape(b, h * w, c)
+
+        q = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_q")(hidden)
+        k = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_k")(hidden)
+        v = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_v")(hidden)
+
+        def split_heads(t):
+            return t.reshape(b, h * w, heads, dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        scale = 1.0 / math.sqrt(dim_head)
+        # (B, heads, S, S) attention — fused by XLA; S = H*W <= 4096 at the
+        # reference's resolutions so the full score matrix fits comfortably.
+        attn = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn * scale, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhst,bhtd->bhsd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
+        return x + out.reshape(b, h, w, c)
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    sample_size: int = 64
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    layers_per_block: int = 2
+    attn_down: Tuple[bool, ...] = (False, False, False, False, True, False)
+    attn_up: Tuple[bool, ...] = (False, True, False, False, False, False)
+    attention_head_dim: int = 8
+    norm_groups: int = 32
+    norm_eps: float = 1e-5
+    dropout: float = 0.0
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    remat: bool = False  # jax.checkpoint each level (trade FLOPs for HBM)
+
+    def __post_init__(self):
+        n = len(self.block_out_channels)
+        if len(self.attn_down) != n or len(self.attn_up) != n:
+            raise ValueError("attention placement length must match block count")
+
+
+class UNet2D(nn.Module):
+    """forward: (x NHWC, t) -> residual NHWC.
+
+    The training contract matches the reference's model(x, t).sample usage
+    (trainer_masked_mean_shift.py:140, sampler.py:145): the output is the
+    residual added to the (shifted) degraded input to reconstruct x_0.
+    """
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array, deterministic: bool = True) -> Array:
+        cfg = self.config
+        ch = cfg.block_out_channels
+        n_levels = len(ch)
+        time_embed_dim = ch[0] * 4
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+
+        # ---- time embedding
+        temb = timestep_embedding(
+            timesteps, ch[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(self.dtype)
+        temb = nn.Dense(
+            time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="time_dense1",
+        )(temb)
+        temb = nn.silu(temb)
+        temb = nn.Dense(
+            time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="time_dense2",
+        )(temb)
+
+        x = x.astype(self.dtype)
+        h = nn.Conv(
+            ch[0], (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv_in",
+        )(x)
+
+        dtype_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        block_kw = dict(norm_groups=cfg.norm_groups, norm_eps=cfg.norm_eps, **dtype_kw)
+        res_kw = dict(dropout=cfg.dropout, **block_kw)
+        maybe_remat = (lambda f: jax.checkpoint(f)) if cfg.remat else (lambda f: f)
+
+        # ---- down path
+        skips = [h]
+        for level in range(n_levels):
+            for layer in range(cfg.layers_per_block):
+                blk = ResnetBlock(ch[level], name=f"down_{level}_res_{layer}", **res_kw)
+                h = maybe_remat(
+                    lambda hh, tt, _blk=blk: _blk(hh, tt, deterministic)
+                )(h, temb)
+                if cfg.attn_down[level]:
+                    h = AttentionBlock(
+                        head_dim=cfg.attention_head_dim,
+                        name=f"down_{level}_attn_{layer}", **block_kw,
+                    )(h)
+                skips.append(h)
+            if level != n_levels - 1:
+                h = Downsample(ch[level], name=f"down_{level}_downsample", **dtype_kw)(h)
+                skips.append(h)
+
+        # ---- middle
+        h = ResnetBlock(ch[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
+        h = AttentionBlock(
+            head_dim=cfg.attention_head_dim, name="mid_attn", **block_kw
+        )(h)
+        h = ResnetBlock(ch[-1], name="mid_res_2", **res_kw)(h, temb, deterministic)
+
+        # ---- up path (processing order: deepest level first)
+        rev_ch = tuple(reversed(ch))
+        rev_attn = tuple(reversed(cfg.attn_up))
+        for i in range(n_levels):
+            for layer in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
+                blk = ResnetBlock(rev_ch[i], name=f"up_{i}_res_{layer}", **res_kw)
+                h = maybe_remat(
+                    lambda hh, tt, _blk=blk: _blk(hh, tt, deterministic)
+                )(h, temb)
+                if rev_attn[i]:
+                    h = AttentionBlock(
+                        head_dim=cfg.attention_head_dim,
+                        name=f"up_{i}_attn_{layer}", **block_kw,
+                    )(h)
+            if i != n_levels - 1:
+                h = Upsample(rev_ch[i], name=f"up_{i}_upsample", **dtype_kw)(h)
+
+        # ---- out
+        h = nn.GroupNorm(
+            num_groups=_norm_groups(ch[0], cfg.norm_groups), epsilon=cfg.norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="norm_out",
+        )(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.zeros,  # residual starts at zero
+            bias_init=nn.initializers.zeros,
+            name="conv_out",
+        )(h)
+        return h
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

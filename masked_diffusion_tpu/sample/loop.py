@@ -1,0 +1,182 @@
+"""Reverse-process sampler as one jitted lax.scan.
+
+Rebuilds the reference's Python-loop sampler (_sample_mean_shift_momentum,
+sampler.py:109-261) as a single compiled program: for t = T..1, shift ->
+UNet -> inverse shift -> degrade x_0 at t and t-1 -> update rule. XLA fuses
+the entire per-step body (the BASELINE.json north star); HBM traffic is one
+UNet forward per step plus the carried state.
+
+Variants, all compile-time static:
+  sampling_mask_dependency in {independent, dependent_prev, dependent_t}
+    (sampler.py:175-196)
+  momentum_adaptive in {base_sampling, base_momentum, momentum, boosting}
+    (sampler.py:199-250); 'boosting' reproduces the reference's effective
+    behavior where the EMA line is overwritten by `momentum = difference`
+    (sampler.py:248-249), and 'momentum' initializes its EMA buffer to zero
+    (the reference reads an undefined variable on the first step).
+
+Trajectory capture (the reference's 11 host-side buffers, sampler.py:116-126)
+is an opt-in scan ys-output — off by default so HBM stays bounded at large T.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masked_diffusion_tpu.config import Config
+from masked_diffusion_tpu.ops import degrade as degrade_ops
+from masked_diffusion_tpu.ops import shift as shift_ops
+from masked_diffusion_tpu.ops.schedule import MaskSchedule
+
+Array = jnp.ndarray
+
+TRAJECTORY_FIELDS = (
+    "sample_t", "shift", "shifted", "mask", "shifted_result", "sample_0",
+    "degrade_mask_t", "degrade_mask_next_t", "degraded_t", "difference",
+    "degraded_next_t",
+)
+
+
+def make_sample_fn(
+    model,
+    schedule: MaskSchedule,
+    cfg: Config,
+    used_timesteps: np.ndarray,
+    capture_trajectory: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """Build sample(params, latent, key) -> sample_0 [, trajectory dict].
+
+    `used_timesteps` (ascending, 1-indexed) is baked in as a constant; the
+    scan walks it in reverse. Pass EMA params for EMA sampling — the
+    reference's store/copy_to/restore swap (trainer_masked_mean_shift.py:
+    412-419) is unnecessary in a functional world.
+    """
+    used = np.asarray(used_timesteps, dtype=np.int32)
+    n_steps = int(len(used))
+    ts_dev = jnp.asarray(used)
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
+
+    dependency = cfg.sampling_mask_dependency
+    rule = cfg.momentum_adaptive
+    if dependency not in ("independent", "dependent_prev", "dependent_t"):
+        raise ValueError(f"unknown sampling_mask_dependency: {dependency!r}")
+    if rule not in ("base_sampling", "base_momentum", "momentum", "boosting"):
+        raise ValueError(f"unknown momentum_adaptive: {rule!r}")
+
+    degrade_independent = partial(
+        degrade_ops.degrade_independent_base_sampling,
+        select_degrade_pixel=cfg.select_degrade_pixel,
+        degrade_channel=cfg.degrade_channel,
+        mean_option=cfg.mean_option,
+        mean_area=cfg.mean_area,
+    )
+
+    def sample_impl(params, latent, key):
+        def body(carry, i):
+            sample_t, _, mask_next_prev, momentum, key = carry
+            b = sample_t.shape[0]
+            t = jnp.take(ts_dev, i)
+            tvec = jnp.broadcast_to(t, (b,)).astype(jnp.int32)
+            is_last = i == 0
+
+            key, k_shift, k_deg_t, k_deg_next = jax.random.split(key, 4)
+
+            # --- shift -> UNet -> inverse shift (sampler.py:142-152)
+            shift = shift_ops.schedule_shift(
+                k_shift, schedule.shift_ratio(tvec), sample_t.shape,
+                cfg.shift_type, cfg.noise_mean, dtype=jnp.float32,
+            )
+            shifted_sample_t = sample_t + shift
+            out = model.apply(
+                params, shifted_sample_t.astype(compute_dtype),
+                tvec.astype(jnp.float32), deterministic=True,
+            ).astype(jnp.float32)
+            shifted_sample_0 = shifted_sample_t + out
+            sample_0 = shifted_sample_0 - shift
+
+            # --- degradation at t and t-1 (sampler.py:167-196)
+            next_tvec = jnp.where(is_last, tvec, tvec - 1)
+            amount_t = schedule.degrade_amount(tvec)
+            amount_next = schedule.degrade_amount(next_tvec)
+
+            if dependency == "independent":
+                degraded_t, mask_t, _ = degrade_independent(k_deg_t, sample_0, amount_t)
+                degraded_next, mask_next, _ = degrade_independent(
+                    k_deg_next, sample_0, amount_next
+                )
+            elif dependency == "dependent_prev":
+                degraded_t = degrade_ops.degrade_with_mask(
+                    sample_0, mask_next_prev, cfg.mean_option, cfg.mean_area
+                )
+                mask_t = mask_next_prev
+                degraded_next, mask_next, _ = degrade_independent(
+                    k_deg_next, sample_0, amount_next
+                )
+            else:  # dependent_t
+                degraded_t, mask_t, _, degraded_next, mask_next, _ = (
+                    degrade_ops.degrade_dependent_base_sampling(
+                        k_deg_t, sample_0, amount_t, amount_next,
+                        cfg.degrade_channel, cfg.mean_option, cfg.mean_area,
+                    )
+                )
+
+            # --- update rule (sampler.py:199-250)
+            difference = degraded_next - degraded_t
+            if rule == "base_sampling":
+                new_sample_t = degraded_next
+                skip_on_last = True
+            elif rule == "base_momentum":
+                new_sample_t = sample_t + difference  # cold diffusion
+                skip_on_last = True
+            elif rule == "momentum":
+                r = cfg.adaptive_momentum_rate
+                momentum = (1.0 - r) * momentum + r * (sample_t - degraded_t)
+                new_sample_t = momentum + degraded_next
+                difference = sample_t - degraded_t
+                skip_on_last = False
+            else:  # boosting — effective reference behavior: momentum = difference
+                momentum = sample_t - degraded_t
+                new_sample_t = momentum + degraded_next
+                difference = sample_t - degraded_t
+                skip_on_last = False
+
+            if skip_on_last:
+                # the reference guards the state update with `if i > 0` / break
+                new_sample_t = jnp.where(is_last, sample_t, new_sample_t)
+
+            new_carry = (new_sample_t, sample_0, mask_next, momentum, key)
+            if capture_trajectory:
+                ys = {
+                    "sample_t": sample_t, "shift": shift, "shifted": shifted_sample_t,
+                    "mask": out, "shifted_result": shifted_sample_0,
+                    "sample_0": sample_0, "degrade_mask_t": mask_t,
+                    "degrade_mask_next_t": mask_next, "degraded_t": degraded_t,
+                    "difference": difference, "degraded_next_t": degraded_next,
+                }
+            else:
+                ys = None
+            return new_carry, ys
+
+        zeros_img = jnp.zeros_like(latent, dtype=jnp.float32)
+        carry = (
+            latent.astype(jnp.float32),  # sample_t
+            zeros_img,                   # sample_0 (filled on first step)
+            zeros_img,                   # degrade_mask_next_t init (sampler.py:113)
+            zeros_img,                   # momentum buffer (zero-init; see module doc)
+            key,
+        )
+        idx = jnp.arange(n_steps - 1, -1, -1)
+        carry, ys = jax.lax.scan(body, carry, idx)
+        sample_0 = carry[1]
+        if capture_trajectory:
+            return sample_0, ys
+        return sample_0
+
+    return jax.jit(sample_impl)

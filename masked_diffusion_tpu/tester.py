@@ -1,0 +1,223 @@
+"""Diversity evaluator (--method test).
+
+Rebuilds tester.py:32-280: load an EMA checkpoint, repeatedly sample,
+deduplicate generated images by cosine similarity (threshold 0.9), keep
+sampling until the unique count reaches data_subset_num, match each unique
+sample to its nearest training image, and save grids / the unique-count plot.
+
+The reference's O(N^2) nested Python loops over pairwise cosine similarity
+(tester.py:150-186) become batched matrix products: one `unique @ batch^T`
+matmul per round plus a cheap host-side greedy pass (the greedy "first
+occurrence wins" dedup is order-dependent and cannot be a pure reduction,
+but it only touches a boolean similarity matrix).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masked_diffusion_tpu.config import Config
+from masked_diffusion_tpu.data.datasets import InMemoryDataset
+from masked_diffusion_tpu.ops.schedule import MaskSchedule, build_schedule
+from masked_diffusion_tpu.sample import latent_initial, make_sample_fn
+from masked_diffusion_tpu.utils.grids import make_grid, normalize01, save_image_grid, save_png
+
+COSINE_SIMILARITY_TH = 0.9  # tester.py:53
+
+
+def _flatten_normalize(x: np.ndarray) -> np.ndarray:
+    v = x.reshape(x.shape[0], -1).astype(np.float32)
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.maximum(n, 1e-12)
+
+
+def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise cosine similarities via one matmul (device-accelerated)."""
+    va, vb = _flatten_normalize(a), _flatten_normalize(b)
+    return np.asarray(jnp.asarray(va) @ jnp.asarray(vb).T)
+
+
+def greedy_dedup(batch: np.ndarray, threshold: float = COSINE_SIMILARITY_TH) -> np.ndarray:
+    """Keep the first of each similar group (tester.py:150-162 semantics)."""
+    if len(batch) == 0:
+        return batch
+    sim = cosine_matrix(batch, batch)
+    keep: List[int] = []
+    for i in range(len(batch)):
+        if all(sim[i, j] < threshold for j in keep):
+            keep.append(i)
+    return batch[keep]
+
+
+def dedup_against(
+    batch: np.ndarray, previous: np.ndarray, threshold: float = COSINE_SIMILARITY_TH
+) -> np.ndarray:
+    """Drop batch items similar to any previous unique image
+    (tester.py:165-186)."""
+    if len(batch) == 0 or len(previous) == 0:
+        return batch
+    sim = cosine_matrix(batch, previous)
+    mask = (sim > threshold).any(axis=1)
+    return batch[~mask]
+
+
+class Tester:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset: InMemoryDataset,
+        model,
+        params,
+        ema_params=None,
+        schedule: Optional[MaskSchedule] = None,
+        dataset_hist=None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.model = model
+        # the reference samples with EMA weights swapped in (tester.py:87-93)
+        self.params = ema_params if ema_params is not None else params
+        self.schedule = schedule or build_schedule(
+            cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
+            cfg.select_degrade_pixel, cfg.ddpm_schedule_base,
+        )
+        cfg.updated_ddpm_num_steps = self.schedule.num_steps
+        self.dataset_hist = dataset_hist
+        # fixed curriculum slice, as the reference hardcodes (tester.py:62)
+        self.timesteps_used_epoch = self.schedule.timesteps_for_epoch(
+            1, 10, cfg.scheduler_num_scale_timesteps
+        )
+        self._sample_fn = make_sample_fn(
+            self.model, self.schedule, cfg, self.timesteps_used_epoch
+        )
+
+    def _sample_batch(self, key) -> np.ndarray:
+        cfg = self.cfg
+        k_lat, k_samp = jax.random.split(key)
+        latent = latent_initial(
+            k_lat, cfg.sample_num, cfg.out_channel, cfg.data_size,
+            cfg.sample_latent_shape, cfg.mean_area, self.dataset_hist,
+        )
+        out = self._sample_fn(self.params, latent, k_samp)
+        sample = out[0] if isinstance(out, tuple) else out
+        return np.asarray(sample)
+
+    def run(self, dirs=None, max_rounds: int = 1000, key=None) -> dict:
+        """Sampling / dedup / matching loop (tester.py:57-133)."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        target = cfg.data_subset_num
+
+        train_set = normalize01(self.dataset.data[:target])
+        img_set: List[np.ndarray] = [
+            np.empty((0,) + train_set.shape[1:], dtype=np.float32) for _ in range(target)
+        ]
+
+        unique_images = np.empty((0,) + train_set.shape[1:], dtype=np.float32)
+        num_unique_history: List[int] = []
+
+        rounds = 0
+        while len(unique_images) < target and rounds < max_rounds:
+            key, k = jax.random.split(key)
+            batch = self._sample_batch(k)
+
+            unique_in_batch = greedy_dedup(batch)
+            fresh = dedup_against(unique_in_batch, unique_images)
+            unique_images = np.concatenate([unique_images, fresh], axis=0)
+            num_unique_history.append(len(unique_images))
+
+            if len(fresh):
+                nn_idx = self.nearest_neighbor_idx(fresh, train_set)
+                img_set = self.assign_similar_neighbor(fresh, img_set, nn_idx)
+
+            if dirs is not None:
+                self._save_progress(dirs, unique_images, num_unique_history, rounds)
+                self.save_neighbor(img_set, train_set, dirs.list_dir["test_sample_neighbor"])
+            rounds += 1
+
+        if dirs is not None and len(unique_images):
+            save_image_grid(
+                unique_images, "image",
+                dirs.list_dir["test_sample_img"], "final_sample.png",
+            )
+        return {
+            "unique_images": unique_images,
+            "num_unique_history": num_unique_history,
+            "rounds": rounds,
+            "img_set": img_set,
+        }
+
+    # ------------------------------------------------------------------ matching
+    def nearest_neighbor_idx(self, source: np.ndarray, train_set: np.ndarray) -> np.ndarray:
+        """argmax cosine similarity vs the training set (tester.py:189-206)."""
+        sim = cosine_matrix(train_set, source)  # (train, source)
+        return sim.argmax(axis=0)
+
+    def assign_similar_neighbor(
+        self, generated: np.ndarray, img_set: List[np.ndarray], idx: np.ndarray
+    ) -> List[np.ndarray]:
+        """Attach each sample to its nearest train image unless a
+        too-similar sample is already attached (tester.py:209-223)."""
+        for i in range(len(generated)):
+            bucket = img_set[int(idx[i])]
+            if len(bucket):
+                sim = cosine_matrix(generated[i : i + 1], bucket)
+                if (sim > COSINE_SIMILARITY_TH).any():
+                    continue
+            img_set[int(idx[i])] = np.concatenate(
+                [bucket, generated[i : i + 1]], axis=0
+            )
+        return img_set
+
+    # ------------------------------------------------------------------ artifacts
+    def _save_progress(self, dirs, unique_images, history, round_idx) -> None:
+        d_img = dirs.list_dir["test_sample_img"]
+        for i in range(len(unique_images) // 100 + 1):
+            part = unique_images[i * 100 : (i + 1) * 100]
+            if len(part) == 0:
+                continue
+            save_image_grid(part, "image", d_img, f"sample_{round_idx}_{i}.png")
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure()
+            plt.plot(history)
+            plt.savefig(
+                os.path.join(dirs.list_dir["test_sample_num"], "number_of_sample.png")
+            )
+            plt.close()
+        except ImportError:  # pragma: no cover
+            pass
+
+    def save_neighbor(self, img_set, train_set, out_dir, chunk_length: int = 10) -> None:
+        """Per-train-image rows: [train image | its matched samples]
+        (tester.py:226-280), rendered as padded grids."""
+        n = len(train_set)
+        chunks = math.ceil(n / chunk_length)
+        for idx in range(chunks):
+            rows = []
+            max_cols = 1
+            for i in range(idx * chunk_length, min((idx + 1) * chunk_length, n)):
+                row = [train_set[i][None]]
+                if len(img_set[i]):
+                    row.append(normalize01(img_set[i]))
+                row = np.concatenate(row, axis=0)
+                max_cols = max(max_cols, len(row))
+                rows.append(row)
+            if not rows:
+                continue
+            h, w, c = rows[0].shape[1:]
+            canvas = np.zeros((len(rows), max_cols, h, w, c), dtype=np.float32)
+            for r, row in enumerate(rows):
+                canvas[r, : len(row)] = row
+            grid = make_grid(canvas.reshape(-1, h, w, c), nrow=max_cols)
+            save_png(grid, os.path.join(out_dir, f"neighbor_{idx}.png"))

@@ -1,0 +1,254 @@
+"""Training orchestration.
+
+The thin host-side shell around the jitted train step — the replacement for
+both reference trainer classes (trainer_masked.py:211-272,
+trainer_masked_mean_shift.py:218-273): epoch loop, per-epoch timestep
+curriculum, metric aggregation, loss-curve PNG, EMA sample grids on the save
+cadence, and checkpoint-epoch-N checkpoints. All compute state (params, EMA,
+optimizer) lives on device inside TrainState; the host only moves batches and
+writes artifacts.
+
+`base` and `mean_shift` are one code path (cfg.method toggles the shift
+stage); `Trainer(...)` below serves both dispatch arms of the reference CLI
+(main_train_masked.py:327-330).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masked_diffusion_tpu.config import Config
+from masked_diffusion_tpu.data.datasets import InMemoryDataset
+from masked_diffusion_tpu.models import build_unet
+from masked_diffusion_tpu.models.unet import count_params
+from masked_diffusion_tpu.ops.schedule import MaskSchedule, build_schedule
+from masked_diffusion_tpu.parallel.mesh import MeshPlan
+from masked_diffusion_tpu.sample import latent_initial, make_sample_fn
+from masked_diffusion_tpu.train.optim import build_lr_schedule, build_optimizer
+from masked_diffusion_tpu.train.step import TrainState, create_train_state, make_train_step
+from masked_diffusion_tpu.utils.grids import save_image_grid
+from masked_diffusion_tpu.io.checkpoint import save_checkpoint
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset: InMemoryDataset,
+        dataset_hist=None,
+        mesh_plan: Optional[MeshPlan] = None,
+        visualizer=None,
+        model=None,
+        schedule: Optional[MaskSchedule] = None,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.dataset_hist = dataset_hist
+        self.mesh_plan = mesh_plan
+        self.visualizer = visualizer
+
+        self.schedule = schedule or build_schedule(
+            cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
+            cfg.select_degrade_pixel, cfg.ddpm_schedule_base,
+        )
+        cfg.updated_ddpm_num_steps = self.schedule.num_steps
+
+        compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
+        self.model = model or build_unet(
+            dim_channel=cfg.in_channel,
+            dim_height=cfg.data_size,
+            dim_width=cfg.data_size,
+            num_attention=cfg.num_attention,
+            block_out_channels=cfg.block_out_channels,
+            layers_per_block=cfg.layers_per_block,
+            dtype=compute_dtype,
+        )
+
+        steps_per_epoch = dataset.num_batches(cfg.batch_size)
+        total_steps = max(1, steps_per_epoch * cfg.num_epochs)
+        self.lr_schedule = build_lr_schedule(
+            cfg.lr_scheduler, cfg.lr,
+            cfg.lr_warmup_steps * cfg.gradient_accumulation_steps,
+            total_steps, cfg.lr_cycle,
+        )
+        self.tx = build_optimizer(
+            cfg.optim, self.lr_schedule, 1.0, cfg.gradient_accumulation_steps
+        )
+
+        init_key = jax.random.PRNGKey(cfg.seed)
+        sample_shape = (cfg.batch_size, cfg.data_size, cfg.data_size, cfg.in_channel)
+        self.state = create_train_state(
+            self.model, init_key, sample_shape, self.tx, use_ema=cfg.use_ema
+        )
+        if mesh_plan is not None:
+            self.state = jax.device_put(self.state, mesh_plan.replicated)
+
+        self._step_cache: Dict[tuple, callable] = {}
+        self._sample_cache: Dict[tuple, callable] = {}
+        self.lr_list: List[float] = []
+        self.loss_mean_epoch: List[float] = []
+        self.global_step = 0
+        self.timesteps_used_epoch = None
+        self.n_params = count_params(self.state.params)
+
+    # ------------------------------------------------------------------ steps
+    def _get_step_fn(self, used: np.ndarray):
+        key = tuple(int(t) for t in used)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.model, self.schedule, self.cfg, self.tx, used, self.lr_schedule
+            )
+        return self._step_cache[key]
+
+    def _get_sample_fn(self, used: np.ndarray):
+        key = tuple(int(t) for t in used)
+        if key not in self._sample_cache:
+            self._sample_cache[key] = make_sample_fn(
+                self.model, self.schedule, self.cfg, used,
+                capture_trajectory=self.cfg.capture_trajectory,
+            )
+        return self._sample_cache[key]
+
+    def _put_batch(self, batch: np.ndarray):
+        if self.mesh_plan is not None:
+            return jax.device_put(batch, self.mesh_plan.batch_sharding)
+        return jnp.asarray(batch)
+
+    # ------------------------------------------------------------------ train
+    def train(
+        self,
+        epoch_start: int = 0,
+        epoch_length: Optional[int] = None,
+        resume_step: int = 0,
+        global_step: int = 0,
+        dirs=None,
+        visualizer=None,
+    ) -> Dict:
+        cfg = self.cfg
+        epoch_length = epoch_length or cfg.num_epochs
+        visualizer = visualizer or self.visualizer
+        self.global_step = global_step
+        rng = np.random.default_rng(cfg.seed + epoch_start)
+        data_key = jax.random.PRNGKey(cfg.seed + 1)
+
+        last_metrics = {}
+        for epoch in range(epoch_start, epoch_start + epoch_length):
+            t_start = time.perf_counter()
+            used = self.schedule.timesteps_for_epoch(
+                epoch, epoch_length, cfg.scheduler_num_scale_timesteps
+            )
+            self.timesteps_used_epoch = used
+            step_fn = self._get_step_fn(used)
+
+            losses = []
+            for batch in self.dataset.epoch_batches(rng, cfg.batch_size):
+                data_key, step_key = jax.random.split(data_key)
+                self.state, metrics = step_fn(self.state, self._put_batch(batch), step_key)
+                losses.append(metrics)
+                self.global_step += 1
+
+            # host sync once per epoch
+            losses = [{k: float(v) for k, v in m.items()} for m in losses]
+            loss_mean = statistics.mean(m["train_loss"] for m in losses) if losses else 0.0
+            self.loss_mean_epoch.append(loss_mean)
+            self.lr_list.extend(m.get("lr", 0.0) for m in losses)
+            last_metrics = losses[-1] if losses else {}
+            epoch_time = time.perf_counter() - t_start
+
+            if visualizer is not None and losses:
+                visualizer.plot_current_losses(
+                    epoch, {**last_metrics, "epoch_time_s": epoch_time}, "value"
+                )
+
+            if self._on_save_cadence(epoch, epoch_start, epoch_length):
+                if dirs is not None:
+                    self._save_learning_curve(dirs)
+                    if cfg.use_ema:
+                        self._save_ema_momentum_sample(dirs, epoch, visualizer)
+                    save_checkpoint(
+                        dirs.list_dir["checkpoint"], epoch, self.global_step,
+                        self.state.params, self.state.ema_params, self.state.opt_state,
+                    )
+
+        return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
+
+    def _on_save_cadence(self, epoch: int, epoch_start: int, epoch_length: int) -> bool:
+        cfg = self.cfg
+        # trainer_masked_mean_shift.py:252 cadence expression
+        scale_period = max(1, int(epoch_length / max(1, cfg.scheduler_num_scale_timesteps)))
+        return (
+            (epoch > 0 and (epoch + 1) % cfg.save_images_epochs == 0)
+            or epoch == (epoch_start + epoch_length - 1)
+            or (epoch + 1) % scale_period == 0
+        )
+
+    # ------------------------------------------------------------------ artifacts
+    def _save_learning_curve(self, dirs) -> None:
+        """3-panel loss/lr/schedule PNG (trainer_masked.py:275-297)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return
+        path = os.path.join(dirs.list_dir["train_loss"], "loss.png")
+        fig = plt.figure(figsize=(24, 8))
+        plt.subplot(1, 3, 1)
+        plt.plot(np.asarray(self.loss_mean_epoch), color="red")
+        plt.title("loss")
+        plt.subplot(1, 3, 2)
+        plt.plot(np.asarray(self.lr_list), color="red")
+        plt.title("learning rate")
+        plt.subplot(1, 3, 3)
+        ratios = np.asarray(self.schedule.ratios)
+        plt.plot(ratios, color="red")
+        plt.title(f"degrade black area num = {len(ratios)}")
+        plt.tight_layout()
+        plt.savefig(path, bbox_inches="tight", dpi=100)
+        plt.close(fig)
+
+    def sample_ema(self, key, sample_num: Optional[int] = None):
+        """Sample with EMA params (no parameter swapping needed)."""
+        cfg = self.cfg
+        used = self.timesteps_used_epoch
+        if used is None:
+            used = self.schedule.timesteps_for_epoch(
+                0, cfg.num_epochs, cfg.scheduler_num_scale_timesteps
+            )
+        sample_fn = self._get_sample_fn(used)
+        k_lat, k_samp = jax.random.split(key)
+        latent = latent_initial(
+            k_lat, sample_num or cfg.sample_num, cfg.out_channel, cfg.data_size,
+            cfg.sample_latent_shape, cfg.mean_area, self.dataset_hist,
+        )
+        params = self.state.ema_params if cfg.use_ema else self.state.params
+        return sample_fn(params, latent, k_samp)
+
+    def _save_ema_momentum_sample(self, dirs, epoch: int, visualizer=None) -> None:
+        """EMA sampling + global/local grids
+        (trainer_masked_mean_shift.py:409-429)."""
+        out = self.sample_ema(jax.random.PRNGKey(self.cfg.seed + epoch))
+        sample = np.asarray(out[0] if isinstance(out, tuple) else out)
+        d = dirs.list_dir["ema_sample_img"]
+        g_global = save_image_grid(
+            sample, "global", d, f"ema_sample_{epoch:05d}_global.png"
+        )
+        g_local = save_image_grid(
+            sample, "image", d, f"ema_sample_{epoch:05d}_local.png"
+        )
+        if visualizer is not None:
+            visualizer.display_current_results(
+                epoch,
+                {
+                    "ema_sample_result_normalize_global": g_global,
+                    "ema_sample_result_normalize_local": g_local,
+                },
+            )

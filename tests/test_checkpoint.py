@@ -1,0 +1,124 @@
+"""Checkpoint layout + resume semantics (main_train_masked.py:195-225,250-277)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.io.checkpoint import (
+    find_resume_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _tree(seed):
+    k = jax.random.PRNGKey(seed)
+    return {
+        "layer": {"kernel": jax.random.normal(k, (4, 4)), "bias": jnp.ones((4,))},
+        "scale": jnp.float32(seed),
+    }
+
+
+class TestSaveLoad:
+    def test_roundtrip_layout(self, tmp_path):
+        params, ema = _tree(1), _tree(2)
+        opt = {"mu": _tree(3)}
+        path = save_checkpoint(str(tmp_path), 7, 1234, params, ema, opt)
+        assert os.path.basename(path) == "checkpoint-epoch-7"
+        # reference layout contract: unet/ + unet_ema/ subfolders
+        assert os.path.isdir(os.path.join(path, "unet"))
+        assert os.path.isdir(os.path.join(path, "unet_ema"))
+        assert os.path.isdir(os.path.join(path, "optimizer"))
+
+        template = jax.tree.map(jnp.zeros_like, params)
+        p2, e2, o2, meta = load_checkpoint(
+            path, template, jax.tree.map(jnp.zeros_like, ema),
+            jax.tree.map(jnp.zeros_like, opt),
+        )
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(e2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert meta == {"epoch": 7, "global_step": 1234}
+
+    def test_load_without_ema(self, tmp_path):
+        params = _tree(1)
+        path = save_checkpoint(str(tmp_path), 0, 10, params)
+        p2, e2, o2, meta = load_checkpoint(path, jax.tree.map(jnp.zeros_like, params))
+        assert e2 is None and o2 is None
+        assert meta["global_step"] == 10
+
+
+class TestResumeScan:
+    def test_latest_scan(self, tmp_path):
+        params = _tree(0)
+        for epoch in (3, 11, 7):
+            save_checkpoint(str(tmp_path), epoch, epoch * 10, params)
+        latest = find_resume_checkpoint(str(tmp_path), "latest")
+        assert latest.endswith("checkpoint-epoch-11")
+
+    def test_explicit_path(self, tmp_path):
+        params = _tree(0)
+        p = save_checkpoint(str(tmp_path), 2, 20, params)
+        assert find_resume_checkpoint(str(tmp_path), p) == p
+
+    def test_no_checkpoints(self, tmp_path):
+        assert find_resume_checkpoint(str(tmp_path), "latest") is None
+        assert find_resume_checkpoint(str(tmp_path / "nope"), "latest") is None
+
+
+class TestResumeTraining:
+    def test_resume_continues_bitwise(self, tmp_path):
+        """checkpoint -> restore -> one more step == uninterrupted two steps."""
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.ops.schedule import build_schedule
+        from masked_diffusion_tpu.train import (
+            build_lr_schedule,
+            build_optimizer,
+            create_train_state,
+            make_train_step,
+        )
+
+        size, batch = 8, 4
+        cfg = Config(
+            method="base", data_size=size, ddpm_schedule="log", ddpm_num_steps=6,
+            select_degrade_pixel="indexing", mean_option="degraded_area",
+            mean_area="image-wise", use_ema=True,
+        )
+        schedule = build_schedule("log", 6, size, "indexing")
+        model = build_unet(
+            dim_channel=3, dim_height=size, dim_width=size, num_attention=1,
+            block_out_channels=(8, 16), layers_per_block=1,
+        )
+        lr = build_lr_schedule("constant", 1e-3, 0, 100)
+        tx = build_optimizer("adamw", lr)
+        state = create_train_state(model, jax.random.PRNGKey(0), (batch, size, size, 3), tx)
+        used = schedule.timesteps_for_epoch(0, 10, 1)
+        step = make_train_step(model, schedule, cfg, tx, used, lr, donate=False)
+        data = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
+        )
+
+        s1, _ = step(state, data, jax.random.PRNGKey(1))
+        path = save_checkpoint(
+            str(tmp_path), 0, int(s1.step), s1.params, s1.ema_params, s1.opt_state
+        )
+        s2_direct, _ = step(s1, data, jax.random.PRNGKey(2))
+
+        p, e, o, meta = load_checkpoint(path, s1.params, s1.ema_params, s1.opt_state)
+        restored = s1.replace(params=p, ema_params=e, opt_state=o,
+                              step=jnp.asarray(meta["global_step"], jnp.int32))
+        s2_resumed, _ = step(restored, data, jax.random.PRNGKey(2))
+
+        for a, b in zip(
+            jax.tree.leaves(s2_direct.params), jax.tree.leaves(s2_resumed.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(s2_direct.ema_params), jax.tree.leaves(s2_resumed.ema_params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

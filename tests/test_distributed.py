@@ -1,0 +1,127 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+data-parallel sharding, replication, parity with single-device execution,
+and the driver's dryrun_multichip contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.parallel.mesh import make_mesh, pad_to_multiple
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh_all(self):
+        plan = make_mesh()
+        assert plan.data_size == 8
+        assert plan.model_size == 1
+
+    def test_make_mesh_shapes(self):
+        plan = make_mesh(data=4, model=2)
+        assert plan.mesh.shape == {"data": 4, "model": 2}
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(data=3, model=2)
+
+    def test_batch_sharding(self):
+        plan = make_mesh()
+        x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+        xs = jax.device_put(x, plan.batch_sharding)
+        assert len(xs.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(xs), x)
+
+    def test_replicated_tree(self):
+        plan = make_mesh()
+        tree = {"w": jnp.ones((4, 4))}
+        rep = jax.device_put(tree, plan.replicated)
+        assert len(rep["w"].sharding.device_set) == 8
+
+    def test_pad_to_multiple(self):
+        x = np.ones((10, 3))
+        padded, real = pad_to_multiple(x, 8)
+        assert padded.shape[0] == 16 and real == 10
+        padded, real = pad_to_multiple(np.ones((16, 3)), 8)
+        assert padded.shape[0] == 16 and real == 16
+
+
+class TestShardedCompute:
+    def test_sharded_matmul_matches(self):
+        plan = make_mesh()
+        x = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+        w = np.random.default_rng(1).normal(size=(8, 4)).astype(np.float32)
+        xs = jax.device_put(x, plan.batch_sharding)
+        ws = jax.device_put(w, plan.replicated)
+        out = jax.jit(lambda a, b: a @ b)(xs, ws)
+        np.testing.assert_allclose(np.asarray(out), x @ w, rtol=1e-4, atol=1e-5)
+
+    def test_mean_reduction_crosses_shards(self):
+        # a batch-mean over a sharded axis forces an XLA all-reduce
+        plan = make_mesh()
+        x = np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32)
+        xs = jax.device_put(x, plan.batch_sharding)
+        out = jax.jit(jnp.mean)(xs)
+        assert float(out) == pytest.approx(float(x.mean()), rel=1e-5)
+
+
+class TestDryrunContract:
+    def test_dryrun_multichip(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_train_step_sharded_matches_single_device(self):
+        """DP invariance: one jitted step on an 8-way sharded batch produces
+        the same params as the same step on one device."""
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.ops.schedule import build_schedule
+        from masked_diffusion_tpu.train import (
+            build_lr_schedule,
+            build_optimizer,
+            create_train_state,
+            make_train_step,
+        )
+
+        size, batch = 8, 8
+        cfg = Config(
+            method="base", data_size=size, ddpm_schedule="log", ddpm_num_steps=6,
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise", use_ema=True,
+        )
+        schedule = build_schedule("log", 6, size, "indexing")
+        model = build_unet(
+            dim_channel=3, dim_height=size, dim_width=size, num_attention=1,
+            block_out_channels=(8, 16), layers_per_block=1,
+        )
+        lr = build_lr_schedule("constant", 1e-3, 0, 100)
+        tx = build_optimizer("adamw", lr)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (batch, size, size, 3), tx
+        )
+        used = schedule.timesteps_for_epoch(0, 10, 1)
+        step = make_train_step(model, schedule, cfg, tx, used, lr, donate=False)
+
+        batch_host = np.random.default_rng(0).uniform(-1, 1, (batch, size, size, 3)).astype(
+            np.float32
+        )
+        key = jax.random.PRNGKey(7)
+
+        s_single, m_single = step(state, jnp.asarray(batch_host), key)
+
+        plan = make_mesh()
+        state_r = jax.device_put(state, plan.replicated)
+        batch_s = jax.device_put(batch_host, plan.batch_sharding)
+        key_r = jax.device_put(key, plan.replicated)
+        s_shard, m_shard = step(state_r, batch_s, key_r)
+
+        assert float(m_single["train_loss"]) == pytest.approx(
+            float(m_shard["train_loss"]), rel=1e-4
+        )
+        for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

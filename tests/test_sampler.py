@@ -1,0 +1,191 @@
+"""Scan sampler: invariants, variants, trajectory capture, latent init."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.config import Config
+from masked_diffusion_tpu.data.histogram import compute_mean_histogram
+from masked_diffusion_tpu.models import build_unet
+from masked_diffusion_tpu.ops.schedule import build_schedule
+from masked_diffusion_tpu.sample import latent_initial, make_sample_fn
+from masked_diffusion_tpu.sample.latent import latent_initial_interpolation
+
+SIZE = 8
+N = 2
+
+
+def _cfg(**kw):
+    base = dict(
+        method="mean_shift", data_size=SIZE, ddpm_schedule="log", ddpm_num_steps=6,
+        select_degrade_pixel="indexing", degrade_channel="1-channel",
+        mean_option="degraded_area", mean_area="image-wise",
+        shift_type="non_shift", sample_num=N, out_channel=3,
+        sampling_mask_dependency="independent", momentum_adaptive="base_momentum",
+        mixed_precision="no",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    schedule = build_schedule(
+        cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size, cfg.select_degrade_pixel
+    )
+    model = build_unet(
+        dim_channel=3, dim_height=SIZE, dim_width=SIZE, num_attention=1,
+        block_out_channels=(8, 16), layers_per_block=1,
+    )
+    x = jnp.zeros((N, SIZE, SIZE, 3))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.array([1.0, 1.0]))
+    used = schedule.timesteps_for_epoch(0, 10, scale=1)
+    return cfg, schedule, model, params, used
+
+
+class TestSampleLoop:
+    def test_shape_and_determinism(self, setup):
+        cfg, schedule, model, params, used = setup
+        fn = make_sample_fn(model, schedule, cfg, used)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.3)
+        s1 = fn(params, latent, jax.random.PRNGKey(5))
+        s2 = fn(params, latent, jax.random.PRNGKey(5))
+        s3 = fn(params, latent, jax.random.PRNGKey(6))
+        assert s1.shape == latent.shape
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        # zero-residual model + image-wise mean fill keeps constants constant,
+        # so different keys still agree here; check finiteness instead
+        assert np.isfinite(np.asarray(s3)).all()
+
+    def test_constant_latent_fixed_point(self, setup):
+        # With the zero-init model (residual 0) and degraded_area image-wise
+        # fill, D(const image) == const image, so every update rule is a
+        # fixed point: the final sample equals the latent exactly.
+        cfg, schedule, model, params, used = setup
+        fn = make_sample_fn(model, schedule, cfg, used)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.37)
+        out = fn(params, latent, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(out), 0.37, rtol=1e-5)
+
+    def test_nonzero_model_changes_output(self, setup):
+        cfg, schedule, model, params, used = setup
+        params_p = jax.tree.map(lambda p: p + 0.02, params)
+        fn = make_sample_fn(model, schedule, cfg, used)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.3)
+        out = fn(params_p, latent, jax.random.PRNGKey(1))
+        assert not np.allclose(np.asarray(out), 0.3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    @pytest.mark.parametrize("rule", ["base_sampling", "momentum", "boosting"])
+    def test_update_rules_run(self, setup, rule):
+        cfg, schedule, model, params, used = setup
+        cfg = _cfg(momentum_adaptive=rule)
+        fn = make_sample_fn(model, schedule, cfg, used)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.2)
+        out = fn(params, latent, jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(out)).all()
+        # constant-image fixed point holds for every rule with zero residual
+        np.testing.assert_allclose(np.asarray(out), 0.2, rtol=1e-5)
+
+    @pytest.mark.parametrize("dep", ["dependent_prev", "dependent_t"])
+    def test_mask_dependencies_run(self, setup, dep):
+        cfg, schedule, model, params, used = setup
+        kw = dict(sampling_mask_dependency=dep)
+        if dep == "dependent_t":
+            # dependent_t needs thresholding masks (scheduler.py:491-513)
+            kw.update(select_degrade_pixel="thresholding", ddpm_schedule="log")
+        cfg = _cfg(**kw)
+        schedule = build_schedule(
+            cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size, cfg.select_degrade_pixel
+        )
+        used = schedule.timesteps_for_epoch(0, 10, scale=1)
+        fn = make_sample_fn(model, schedule, cfg, used)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.2)
+        out = fn(params, latent, jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_trajectory_capture(self, setup):
+        cfg, schedule, model, params, used = setup
+        fn = make_sample_fn(model, schedule, cfg, used, capture_trajectory=True)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.1)
+        out, traj = fn(params, latent, jax.random.PRNGKey(0))
+        assert out.shape == latent.shape
+        T = len(used)
+        for name in ("sample_t", "shift", "sample_0", "degraded_t", "difference"):
+            assert traj[name].shape == (T, N, SIZE, SIZE, 3), name
+        # first scanned step (t=T) starts from the latent
+        np.testing.assert_allclose(np.asarray(traj["sample_t"][0]), 0.1, atol=1e-6)
+
+    def test_mean_shift_sampling(self, setup):
+        cfg, schedule, model, params, used = setup
+        cfg = _cfg(shift_type="1-d_constant")
+        fn = make_sample_fn(model, schedule, cfg, used)
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.3)
+        out = fn(params, latent, jax.random.PRNGKey(7))
+        # shift is added before and subtracted after the zero-residual model,
+        # and D(const)=const, so the fixed point survives shifting
+        np.testing.assert_allclose(np.asarray(out), 0.3, rtol=1e-4)
+
+
+class TestLatentInit:
+    def test_zero(self):
+        lat = latent_initial(jax.random.PRNGKey(0), 4, 3, SIZE, "zero")
+        assert lat.shape == (4, SIZE, SIZE, 3)
+        np.testing.assert_allclose(np.asarray(lat), 0.0)
+
+    def test_grid(self):
+        lat = np.asarray(latent_initial(jax.random.PRNGKey(0), 5, 3, SIZE, "grid"))
+        np.testing.assert_allclose(lat[0], -1.0)
+        np.testing.assert_allclose(lat[-1], 1.0)
+        for i in range(5):
+            assert np.unique(lat[i]).size == 1
+
+    def test_uniform_bounds(self):
+        lat = np.asarray(latent_initial(jax.random.PRNGKey(0), 16, 3, SIZE, "uniform"))
+        assert lat.min() >= -1.0 and lat.max() <= 1.0
+
+    def test_data_mode_inverse_cdf(self):
+        data = np.random.default_rng(0).uniform(-1, 1, size=(200, SIZE, SIZE, 3)).astype(
+            np.float32
+        )
+        hist = compute_mean_histogram(data, bins=16, mean_area="image-wise")
+        lat = np.asarray(
+            latent_initial(
+                jax.random.PRNGKey(0), 64, 3, SIZE, "data",
+                mean_area="image-wise", dataset_hist=hist,
+            )
+        )
+        assert lat.shape == (64, SIZE, SIZE, 3)
+        # constant images whose means lie inside the data-mean range
+        means = lat.mean(axis=(1, 2, 3))
+        dmeans = data.mean(axis=(1, 2, 3))
+        assert means.min() >= dmeans.min() - 0.1
+        assert means.max() <= dmeans.max() + 0.1
+        for i in range(8):
+            assert np.unique(lat[i]).size == 1
+
+    def test_data_mode_channel_wise(self):
+        data = np.random.default_rng(0).uniform(-1, 1, size=(100, SIZE, SIZE, 3)).astype(
+            np.float32
+        )
+        hist = compute_mean_histogram(data, bins=8, mean_area="channel-wise")
+        lat = np.asarray(
+            latent_initial(
+                jax.random.PRNGKey(0), 10, 3, SIZE, "data",
+                mean_area="channel-wise", dataset_hist=hist,
+            )
+        )
+        assert lat.shape == (10, SIZE, SIZE, 3)
+        # channels differ (channel-wise means), spatially constant
+        assert np.unique(lat[0, :, :, 0]).size == 1
+
+    def test_data_mode_requires_hist(self):
+        with pytest.raises(ValueError):
+            latent_initial(jax.random.PRNGKey(0), 4, 3, SIZE, "data")
+
+    def test_interpolation_latent(self):
+        lat, mu = latent_initial_interpolation(5, 3, SIZE, 0.0)
+        assert lat.shape == (5, SIZE, SIZE, 3)
+        np.testing.assert_allclose(np.asarray(mu), np.linspace(-1, 1, 5), rtol=1e-6)

@@ -1,0 +1,120 @@
+"""End-to-end integration: train a tiny model for a few epochs on synthetic
+data, sample, checkpoint, and run the tester loop (SURVEY.md §4 integration
+tier)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.config import Config
+from masked_diffusion_tpu.data.datasets import get_dataset
+from masked_diffusion_tpu.data.histogram import compute_mean_histogram
+from masked_diffusion_tpu.train.trainer import Trainer
+from masked_diffusion_tpu.utils.dirs import Dir
+
+SIZE = 8
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        method="mean_shift", data_name="synthetic", data_size=SIZE,
+        data_subset=True, data_subset_num=32, batch_size=8, num_epochs=3,
+        ddpm_schedule="log", ddpm_num_steps=6, select_degrade_pixel="indexing",
+        degrade_channel="1-channel", mean_option="degraded_area",
+        mean_area="image-wise", shift_type="1-d_constant", use_ema=True,
+        lr=1e-3, lr_scheduler="constant", lr_warmup_steps=0,
+        sample_num=4, sample_latent_shape="data", save_images_epochs=2,
+        use_wandb=False, use_mlflow=False, dir_work=str(tmp),
+        block_out_channels=(8, 16), layers_per_block=1, num_attention=1,
+        scheduler_num_scale_timesteps=1,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = _cfg(tmp)
+    dataset = get_dataset("", "synthetic", SIZE, data_subset=True, num_data=32)
+    hist = compute_mean_histogram(dataset.data, cfg.sample_num, cfg.mean_area)
+    dirs = Dir(task="train", content="test", dir_work=str(tmp),
+               data_name="synthetic", data_size=SIZE, method=cfg.method)
+    trainer = Trainer(cfg, dataset, hist)
+    result = trainer.train(0, cfg.num_epochs, dirs=dirs)
+    return cfg, dataset, hist, dirs, trainer, result
+
+
+class TestTrainEndToEnd:
+    def test_loss_decreases(self, run):
+        *_, result = run
+        losses = result["loss_mean_epoch"]
+        assert len(losses) == 3
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_checkpoint_written(self, run):
+        _, _, _, dirs, _, _ = run
+        ckpts = os.listdir(dirs.list_dir["checkpoint"])
+        assert any(c.startswith("checkpoint-epoch-") for c in ckpts)
+        latest = sorted(ckpts)[-1]
+        base = os.path.join(dirs.list_dir["checkpoint"], latest)
+        assert os.path.isdir(os.path.join(base, "unet"))
+        assert os.path.isdir(os.path.join(base, "unet_ema"))
+
+    def test_sample_grids_written(self, run):
+        _, _, _, dirs, _, _ = run
+        pngs = os.listdir(dirs.list_dir["ema_sample_img"])
+        assert any(p.endswith("_global.png") for p in pngs)
+        assert any(p.endswith("_local.png") for p in pngs)
+
+    def test_loss_curve_written(self, run):
+        _, _, _, dirs, _, _ = run
+        assert os.path.exists(os.path.join(dirs.list_dir["train_loss"], "loss.png"))
+
+    def test_sampling_produces_finite(self, run):
+        _, _, _, _, trainer, _ = run
+        out = trainer.sample_ema(jax.random.PRNGKey(0), sample_num=4)
+        sample = np.asarray(out[0] if isinstance(out, tuple) else out)
+        assert sample.shape == (4, SIZE, SIZE, 3)
+        assert np.isfinite(sample).all()
+
+
+class TestTester:
+    def test_diversity_loop(self, run, tmp_path):
+        from masked_diffusion_tpu.tester import Tester
+
+        cfg, dataset, hist, _, trainer, _ = run
+        tcfg = cfg.replace(data_subset_num=8, sample_num=8, method="test")
+        dirs = Dir(task="train", content="tester", dir_work=str(tmp_path),
+                   data_name="synthetic", data_size=SIZE, method="test")
+        tester = Tester(
+            tcfg, dataset, trainer.model, trainer.state.params,
+            trainer.state.ema_params, trainer.schedule, hist,
+        )
+        out = tester.run(dirs, max_rounds=3)
+        assert out["rounds"] >= 1
+        assert len(out["num_unique_history"]) == out["rounds"]
+        # unique counts are monotone non-decreasing
+        assert all(
+            b >= a for a, b in zip(out["num_unique_history"], out["num_unique_history"][1:])
+        )
+        assert os.path.exists(
+            os.path.join(dirs.list_dir["test_sample_num"], "number_of_sample.png")
+        )
+
+
+class TestDedupUnits:
+    def test_greedy_dedup(self):
+        from masked_diffusion_tpu.tester import dedup_against, greedy_dedup
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(1, SIZE, SIZE, 3)).astype(np.float32)
+        b = rng.normal(size=(1, SIZE, SIZE, 3)).astype(np.float32)
+        batch = np.concatenate([a, a * 1.001, b, a], axis=0)  # 3 near-copies of a
+        unique = greedy_dedup(batch)
+        assert len(unique) == 2
+        fresh = dedup_against(unique, a)
+        assert len(fresh) == 1  # only b survives

@@ -1,0 +1,166 @@
+"""U-Net model tests: shapes, dtype policy, attention placement, EMA law.
+
+Model init is expensive on the CPU test bed, so params are shared via
+module-scoped fixtures.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.models import (
+    UNet2D,
+    UNetConfig,
+    attention_placement,
+    build_unet,
+    ema_decay,
+    ema_update,
+)
+from masked_diffusion_tpu.models.unet import count_params, timestep_embedding
+
+TINY = dict(block_out_channels=(8, 16), layers_per_block=1)
+SIZE = 16
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = build_unet(dim_channel=3, dim_height=SIZE, dim_width=SIZE,
+                       num_attention=1, **TINY)
+    x = jnp.zeros((2, SIZE, SIZE, 3))
+    t = jnp.array([1.0, 5.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    return model, params
+
+
+class TestForward:
+    def test_shape(self, tiny):
+        model, params = tiny
+        x = jnp.zeros((2, SIZE, SIZE, 3))
+        out = model.apply(params, x, jnp.array([1.0, 5.0]))
+        assert out.shape == x.shape
+
+    def test_zero_init_output(self, tiny):
+        model, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3))
+        out = model.apply(params, x, jnp.array([1.0, 2.0]))
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_time_conditioning_changes_output(self, tiny):
+        model, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, SIZE, SIZE, 3))
+        params = jax.tree.map(lambda p: p + 0.01, params)
+        o1 = model.apply(params, x, jnp.array([1.0]))
+        o2 = model.apply(params, x, jnp.array([100.0]))
+        assert float(jnp.abs(o1 - o2).max()) > 1e-4
+
+    def test_input_conditioning_changes_output(self, tiny):
+        model, params = tiny
+        params = jax.tree.map(lambda p: p + 0.01, params)
+        x1 = jax.random.normal(jax.random.PRNGKey(1), (1, SIZE, SIZE, 3))
+        x2 = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3))
+        o1 = model.apply(params, x1, jnp.array([5.0]))
+        o2 = model.apply(params, x2, jnp.array([5.0]))
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_bf16_compute_fp32_params(self, tiny):
+        _, params = tiny
+        model_bf16 = build_unet(dim_channel=3, dim_height=SIZE, dim_width=SIZE,
+                                num_attention=1, dtype=jnp.bfloat16, **TINY)
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+        x = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
+        out = model_bf16.apply(params, x, jnp.array([1.0]))
+        assert out.dtype == jnp.bfloat16
+
+    def test_single_channel(self):
+        model = build_unet(dim_channel=1, dim_height=SIZE, dim_width=SIZE, **TINY)
+        x = jnp.zeros((1, SIZE, SIZE, 1))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.array([1.0]))
+        assert model.apply(params, x, jnp.array([1.0])).shape == x.shape
+
+    def test_remat_matches(self, tiny):
+        model, params = tiny
+        model_remat = build_unet(dim_channel=3, dim_height=SIZE, dim_width=SIZE,
+                                 num_attention=1, remat=True, **TINY)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, SIZE, SIZE, 3))
+        t = jnp.array([3.0])
+        params = jax.tree.map(lambda p: p + 0.01, params)
+        o1 = model.apply(params, x, t)
+        o2 = model_remat.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def test_attention_params_present(self, tiny):
+        _, params = tiny
+        names = {k for k in params["params"]}
+        # num_attention=1 with 2 shrunk levels -> attention at down level 0, up level 1
+        assert any("attn" in k for k in names)
+        assert "mid_attn" in names
+
+
+class TestTimestepEmbedding:
+    def test_shape_and_range(self):
+        emb = timestep_embedding(jnp.array([0.0, 1.0, 999.0]), 128)
+        assert emb.shape == (3, 128)
+        assert np.all(np.abs(np.asarray(emb)) <= 1.0 + 1e-6)
+
+    def test_flip_sin_to_cos(self):
+        t = jnp.array([7.0])
+        a = np.asarray(timestep_embedding(t, 8, flip_sin_to_cos=True))
+        b = np.asarray(timestep_embedding(t, 8, flip_sin_to_cos=False))
+        np.testing.assert_allclose(a[:, :4], b[:, 4:], rtol=1e-6)
+        np.testing.assert_allclose(a[:, 4:], b[:, :4], rtol=1e-6)
+
+    def test_distinct_timesteps_distinct_embeddings(self):
+        emb = np.asarray(timestep_embedding(jnp.arange(10.0), 64))
+        for i in range(9):
+            assert not np.allclose(emb[i], emb[i + 1])
+
+
+class TestAttentionPlacement:
+    def test_reference_table(self):
+        # utils/model.py:6-20
+        down, up = attention_placement(1)
+        assert down == (False, False, False, False, True, False)
+        assert up == (False, True, False, False, False, False)
+        down, up = attention_placement(5)
+        assert down == (False, True, True, True, True, True)
+        assert up == (True, True, True, True, True, False)
+
+    def test_all_reference_placements(self):
+        # utils/model.py:6-20: num_attention=n places n Attn levels down and up
+        for na in (1, 2, 3, 4, 5):
+            down, up = attention_placement(na)
+            assert len(down) == len(up) == 6
+            assert sum(down) == na
+            assert sum(up) == na
+
+    def test_invalid_raises(self):
+        with pytest.raises(NotImplementedError):
+            attention_placement(6)
+
+
+class TestEMA:
+    def test_first_step_copies(self):
+        assert float(ema_decay(1)) == 0.0
+
+    def test_decay_monotone_and_clamped(self):
+        d = np.asarray(
+            [float(ema_decay(s, max_decay=0.9999)) for s in [2, 10, 100, 10_000, 10_000_000]]
+        )
+        assert np.all(np.diff(d) >= 0)
+        assert d[-1] == pytest.approx(0.9999)
+
+    def test_diffusers_warmup_law(self):
+        # decay = 1 - (1 + step/inv_gamma)^-power with step = opt_step - 1
+        opt_step, inv_gamma, power = 51, 1.0, 0.75
+        expected = 1 - (1 + 50 / inv_gamma) ** (-power)
+        assert float(ema_decay(opt_step, inv_gamma, power)) == pytest.approx(expected)
+
+    def test_update_tree(self):
+        params = {"w": jnp.ones((4,)) * 2.0}
+        ema = {"w": jnp.zeros((4,))}
+        out = ema_update(ema, params, optimization_step=1)  # decay 0 -> copy
+        np.testing.assert_allclose(np.asarray(out["w"]), 2.0)
+        out2 = ema_update(out, {"w": jnp.zeros((4,))}, optimization_step=100)
+        d = float(ema_decay(100))
+        np.testing.assert_allclose(np.asarray(out2["w"]), 2.0 * d, rtol=1e-6)

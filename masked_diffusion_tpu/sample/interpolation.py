@@ -1,0 +1,101 @@
+"""Interpolation sampler (reference sampler.py:264-366).
+
+Sweeps a grid of constant-image latents across [-1, 1] (shifted by
+interpolation_shift) and runs the reverse loop with a *deterministic* shift
+clamped around each latent's mean and a *shared* degradation mask across the
+batch — so the batch dimension becomes an interpolation axis through data
+space. One jitted lax.scan, like the main sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masked_diffusion_tpu.config import Config
+from masked_diffusion_tpu.ops import degrade as degrade_ops
+from masked_diffusion_tpu.ops import shift as shift_ops
+from masked_diffusion_tpu.ops.schedule import MaskSchedule
+from masked_diffusion_tpu.sample.latent import latent_initial_interpolation
+
+
+def make_interpolation_sample_fn(
+    model,
+    schedule: MaskSchedule,
+    cfg: Config,
+    used_timesteps: np.ndarray,
+    interpolation_shift: float,
+    compute_dtype=None,
+) -> Callable:
+    """Build sample(params, key) -> (sample_0, mu)."""
+    used = np.asarray(used_timesteps, dtype=np.int32)
+    n_steps = int(len(used))
+    ts_dev = jnp.asarray(used)
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
+
+    rule = cfg.momentum_adaptive
+    if rule not in ("base_momentum", "momentum", "boosting"):
+        raise ValueError(
+            f"momentum_adaptive {rule!r} unsupported for interpolation sampling"
+        )
+
+    latent, mu = latent_initial_interpolation(
+        cfg.sample_num, cfg.out_channel, cfg.data_size, interpolation_shift
+    )
+
+    def sample_impl(params, key):
+        def body(carry, i):
+            sample_t, _, mask_next_prev, momentum, key = carry
+            b = sample_t.shape[0]
+            t = jnp.take(ts_dev, i)
+            tvec = jnp.broadcast_to(t, (b,)).astype(jnp.int32)
+            is_last = i == 0
+            key, k_deg = jax.random.split(key)
+
+            shift = shift_ops.schedule_shift_interpolation(
+                schedule.shift_ratio(tvec), mu, interpolation_shift, sample_t.shape
+            )
+            shifted = sample_t + shift
+            out = model.apply(
+                params, shifted.astype(compute_dtype), tvec.astype(jnp.float32),
+                deterministic=True,
+            ).astype(jnp.float32)
+            sample_0 = (shifted + out) - shift
+
+            next_tvec = jnp.where(is_last, tvec, tvec - 1)
+            amount_next = schedule.degrade_amount(next_tvec)
+
+            degraded_t = degrade_ops.degrade_with_mask(
+                sample_0, mask_next_prev, cfg.mean_option, cfg.mean_area
+            )
+            degraded_next, mask_next, _ = degrade_ops.degrade_interpolation_sampling(
+                k_deg, sample_0, amount_next, cfg.mean_option, cfg.mean_area
+            )
+
+            difference = sample_t - degraded_t
+            if rule == "base_momentum":
+                new_sample_t = degraded_next + difference
+            elif rule == "momentum":
+                r = cfg.adaptive_momentum_rate
+                momentum = (1.0 - r) * momentum + r * difference
+                new_sample_t = momentum + degraded_next
+            else:  # boosting (effective reference behavior)
+                momentum = difference
+                new_sample_t = momentum + degraded_next
+            # the reference only updates state when i > 0 (sampler.py:316)
+            new_sample_t = jnp.where(is_last, sample_t, new_sample_t)
+            mask_next = jnp.where(is_last, mask_next_prev, mask_next)
+
+            return (new_sample_t, sample_0, mask_next, momentum, key), None
+
+        zeros = jnp.zeros_like(latent)
+        carry = (latent, zeros, zeros, zeros, key)
+        idx = jnp.arange(n_steps - 1, -1, -1)
+        carry, _ = jax.lax.scan(body, carry, idx)
+        return carry[1], mu
+
+    return jax.jit(sample_impl)

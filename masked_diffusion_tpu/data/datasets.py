@@ -256,6 +256,83 @@ class InMemoryDataset:
         return -(-len(self) // batch_size)
 
 
+def save_dataset(dataset: "InMemoryDataset", path: str) -> str:
+    """Export the preloaded tensors to one .npz file — the analog of the
+    reference's per-run .pt dump (mydataset.save_dataset :213-232)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(
+        path, data=dataset.data, labels=dataset.labels, random=dataset.random
+    )
+    return path
+
+
+def load_saved_dataset(path: str) -> "InMemoryDataset":
+    with np.load(path) as z:
+        ds = InMemoryDataset(z["data"], z["labels"])
+        if "random" in z:
+            ds.random = z["random"]
+    return ds
+
+
+class SaliencyPairDataset:
+    """Image + ground-truth-mask pairs for the saliency stack
+    (utils/datasetutils.py:30-177: cat2000 / DUTS / synthetic pair layouts —
+    an images directory and a masks directory matched by filename stem)."""
+
+    def __init__(self, images: np.ndarray, masks: np.ndarray):
+        assert len(images) == len(masks)
+        self.images = images
+        self.masks = masks
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return self.images[idx], self.masks[idx]
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int):
+        idx = np.arange(len(self))
+        rng.shuffle(idx)
+        for i in range(len(self) // batch_size):
+            sel = idx[i * batch_size : (i + 1) * batch_size]
+            yield self.images[sel], self.masks[sel]
+
+
+def load_saliency_pairs(
+    image_dir: str, mask_dir: str, size: int, limit: Optional[int] = None
+) -> SaliencyPairDataset:
+    """Load (image, mask) pairs matched by filename stem (datasetutils.py's
+    cat2000/DUTS directory convention: Stimuli/ vs FIXATIONMAPS/, image/ vs
+    GT/)."""
+    if not _HAS_PIL:
+        raise RuntimeError("PIL required for saliency-pair datasets")
+    img_paths = sorted(
+        p for p in glob.glob(os.path.join(image_dir, "*")) if p.lower().endswith(IMG_EXTENSIONS)
+    )
+    if limit:
+        img_paths = img_paths[:limit]
+    mask_by_stem = {
+        os.path.splitext(os.path.basename(p))[0]: p
+        for p in glob.glob(os.path.join(mask_dir, "*"))
+        if p.lower().endswith(IMG_EXTENSIONS)
+    }
+    imgs, masks = [], []
+    for p in img_paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        mp = mask_by_stem.get(stem)
+        if mp is None:
+            continue
+        img = np.asarray(Image.open(p).convert("RGB"), dtype=np.uint8)
+        mask = np.asarray(Image.open(mp).convert("L"), dtype=np.uint8)[..., None]
+        imgs.append(normalize_global(resize_center_crop(img, size)))
+        masks.append(resize_center_crop(mask, size))
+    if not imgs:
+        raise FileNotFoundError(f"no (image, mask) pairs under {image_dir} / {mask_dir}")
+    return SaliencyPairDataset(
+        np.stack(imgs).astype(np.float32), np.stack(masks).astype(np.float32)
+    )
+
+
 def get_dataset(
     path: str,
     name: str,
@@ -265,8 +342,20 @@ def get_dataset(
     num_data: int = 0,
     use_augment: bool = False,
     seed: int = 0,
+    label_filter: Optional[int] = None,
 ) -> InMemoryDataset:
-    """Build an in-memory dataset (mydataset.get_dataset + MyDataset preload)."""
+    """Build an in-memory dataset (mydataset.get_dataset + MyDataset preload).
+
+    label_filter keeps a single class — the reference's mnist label filter
+    (utils/datasetutils.py:223-243). A --dir_dataset containing 'hugging'
+    routes through the HF adapter (main_train_masked.py:47-49).
+    """
+    if "hugging" in str(path):
+        from masked_diffusion_tpu.data.hugging import load_hf_dataset
+
+        return load_hf_dataset(
+            name, size, split, data_subset, num_data, use_augment, seed
+        )
     name_l = name.lower()
     if name_l == "synthetic":
         n = num_data if (data_subset and num_data) else 1024
@@ -274,11 +363,17 @@ def get_dataset(
         imgs = raw  # already [0,1] at final size
     elif name_l == "mnist":
         raw, labels = load_mnist_idx(path, split)
+        if label_filter is not None:
+            keep = labels == label_filter
+            raw, labels = raw[keep], labels[keep]
         if data_subset and num_data:
             raw, labels = raw[:num_data], labels[:num_data]
         imgs = np.stack([resize_center_crop(im, size) for im in raw])
     elif name_l == "cifar10":
         raw, labels = load_cifar10(path, split)
+        if label_filter is not None:
+            keep = labels == label_filter
+            raw, labels = raw[keep], labels[keep]
         if data_subset and num_data:
             raw, labels = raw[:num_data], labels[:num_data]
         imgs = np.stack([resize_center_crop(im, size) for im in raw])

@@ -67,6 +67,37 @@ def dedup_against(
     return batch[~mask]
 
 
+def _downsample_batch(x: np.ndarray, size: int) -> np.ndarray:
+    out = jax.image.resize(
+        jnp.asarray(x, jnp.float32),
+        (x.shape[0], size, size, x.shape[-1]),
+        method="bilinear",
+    )
+    return np.asarray(out)
+
+
+def get_nearest_neighbor(
+    samples: np.ndarray,
+    dataset: np.ndarray,
+    compare_size: int = 32,
+    flip_augment: bool = True,
+) -> np.ndarray:
+    """Nearest training image per sample by cosine similarity at a reduced
+    resolution, with optional horizontal-flip augmentation of the dataset
+    (Sampler.get_nearest_neighbor, sampler.py:487-518: both sides are
+    compared at 32x32; the flipped copies double the candidate pool, and the
+    returned images are the original-resolution training images).
+    """
+    cand = dataset
+    if flip_augment:
+        cand = np.concatenate([dataset, dataset[:, :, ::-1, :]], axis=0)
+    sim = cosine_matrix(
+        _downsample_batch(samples, compare_size), _downsample_batch(cand, compare_size)
+    )
+    idx = sim.argmax(axis=1)
+    return cand[idx]
+
+
 class Tester:
     def __init__(
         self,

@@ -34,6 +34,7 @@ from masked_diffusion_tpu.sample import latent_initial, make_sample_fn
 from masked_diffusion_tpu.train.optim import build_lr_schedule, build_optimizer
 from masked_diffusion_tpu.train.step import TrainState, create_train_state, make_train_step
 from masked_diffusion_tpu.utils.grids import save_image_grid
+from masked_diffusion_tpu.utils.profiling import trace
 from masked_diffusion_tpu.io.checkpoint import save_checkpoint
 
 
@@ -61,15 +62,26 @@ class Trainer:
         cfg.updated_ddpm_num_steps = self.schedule.num_steps
 
         compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
-        self.model = model or build_unet(
-            dim_channel=cfg.in_channel,
-            dim_height=cfg.data_size,
-            dim_width=cfg.data_size,
-            num_attention=cfg.num_attention,
-            block_out_channels=cfg.block_out_channels,
-            layers_per_block=cfg.layers_per_block,
-            dtype=compute_dtype,
-        )
+        if model is not None:
+            self.model = model
+        elif cfg.model != "default":
+            # named zoo architectures (--model unet1..unet6, models_Unet.py:17)
+            from masked_diffusion_tpu.models.zoo import Model as zoo_model
+
+            self.model = zoo_model(
+                cfg.model, cfg.in_channel, cfg.data_size, cfg.data_size,
+                cfg.out_channel, dtype=compute_dtype,
+            )
+        else:
+            self.model = build_unet(
+                dim_channel=cfg.in_channel,
+                dim_height=cfg.data_size,
+                dim_width=cfg.data_size,
+                num_attention=cfg.num_attention,
+                block_out_channels=cfg.block_out_channels,
+                layers_per_block=cfg.layers_per_block,
+                dtype=compute_dtype,
+            )
 
         steps_per_epoch = dataset.num_batches(cfg.batch_size)
         total_steps = max(1, steps_per_epoch * cfg.num_epochs)
@@ -138,6 +150,10 @@ class Trainer:
         rng = np.random.default_rng(cfg.seed + epoch_start)
         data_key = jax.random.PRNGKey(cfg.seed + 1)
 
+        # profile the first post-warmup epoch: epoch 0 pays the compile, so
+        # its trace is all XLA compilation; trace epoch_start+1 instead
+        profile_epoch = epoch_start + 1 if epoch_length > 1 else epoch_start
+
         last_metrics = {}
         for epoch in range(epoch_start, epoch_start + epoch_length):
             t_start = time.perf_counter()
@@ -148,11 +164,14 @@ class Trainer:
             step_fn = self._get_step_fn(used)
 
             losses = []
-            for batch in self.dataset.epoch_batches(rng, cfg.batch_size):
-                data_key, step_key = jax.random.split(data_key)
-                self.state, metrics = step_fn(self.state, self._put_batch(batch), step_key)
-                losses.append(metrics)
-                self.global_step += 1
+            with trace(cfg.profile_dir if epoch == profile_epoch else None):
+                for batch in self.dataset.epoch_batches(rng, cfg.batch_size):
+                    data_key, step_key = jax.random.split(data_key)
+                    self.state, metrics = step_fn(
+                        self.state, self._put_batch(batch), step_key
+                    )
+                    losses.append(metrics)
+                    self.global_step += 1
 
             # host sync once per epoch
             losses = [{k: float(v) for k, v in m.items()} for m in losses]
@@ -163,8 +182,17 @@ class Trainer:
             epoch_time = time.perf_counter() - t_start
 
             if visualizer is not None and losses:
+                # epoch_time includes the device sync above, so imgs/sec is a
+                # true device-throughput figure after the compile epoch
                 visualizer.plot_current_losses(
-                    epoch, {**last_metrics, "epoch_time_s": epoch_time}, "value"
+                    epoch,
+                    {
+                        **last_metrics,
+                        "epoch_time_s": epoch_time,
+                        "steps_per_sec": len(losses) / max(epoch_time, 1e-9),
+                        "imgs_per_sec": len(losses) * cfg.batch_size / max(epoch_time, 1e-9),
+                    },
+                    "value",
                 )
 
             if self._on_save_cadence(epoch, epoch_start, epoch_length):

@@ -1,0 +1,45 @@
+#!/bin/bash
+# MNIST mean-shift workload (BASELINE.md row "MNIST mean-shift":
+# 32x32, batch 128, T=248 linear schedule, lr 5e-4 cosine, EMA on —
+# hyperparameters of script/train/mnist/masked_shift_mean/pua/script_main2.sh).
+set -e
+cd "$(dirname "$0")/../../../.."
+
+python -m masked_diffusion_tpu.cli.main_train_masked \
+    --task "train" \
+    --content "mnist_masked" \
+    --method "mean_shift" \
+    --title "shift_mean_T248" \
+    --dir_dataset "${MDT_DIR_DATASET:-/nas2/dataset}" \
+    --data_name "mnist" \
+    --data_size 32 \
+    --data_subset True \
+    --data_subset_num 1000 \
+    --in_channel 1 \
+    --out_channel 1 \
+    --batch_size 128 \
+    --num_epochs 10000 \
+    --optim "adamw" \
+    --lr 5e-4 \
+    --lr_scheduler "cosine" \
+    --lr_warmup_steps 500 \
+    --use_ema True \
+    --ddpm_num_steps 248 \
+    --ddpm_schedule "linear" \
+    --select_degrade_pixel "thresholding" \
+    --degrade_channel "1-channel" \
+    --mean_option "degraded_area" \
+    --mean_area "image-wise" \
+    --shift_type "1-d_constant" \
+    --sample_latent_shape "data" \
+    --sampling "momentum" \
+    --momentum_adaptive "base_momentum" \
+    --sampling_mask_dependency "independent" \
+    --sample_num 100 \
+    --save_images_epochs 100 \
+    --mixed_precision "${MDT_MIXED_PRECISION:-bf16}" \
+    --mesh_data "${MDT_MESH_DATA:--1}" \
+    --mesh_model "${MDT_MESH_MODEL:-1}" \
+    --multihost "${MDT_MULTIHOST:-False}" \
+    --use_wandb "${MDT_USE_WANDB:-False}" \
+    --use_mlflow False

@@ -64,8 +64,10 @@ def main() -> int:
         dim_channel=3, dim_height=data_size, dim_width=data_size,
         num_attention=1, dtype=jnp.bfloat16,
     )
-    x0 = jnp.zeros((batch, data_size, data_size, 3), jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((batch,)))
+    # init at batch 1: parameters are batch-independent and a full-batch fp32
+    # init forward transiently needs ~4GB of activations at 64x64/batch 64
+    x0 = jnp.zeros((1, data_size, data_size, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)))
     n_params = count_params(params)
 
     # ---------------------------------------------------------------- sampling

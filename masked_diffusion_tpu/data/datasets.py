@@ -49,7 +49,18 @@ IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".ppm", ".tif", ".ti
 def resize_center_crop(img: np.ndarray, size: int) -> np.ndarray:
     """Resize the short side to `size` (bilinear) then center-crop to
     size x size — torchvision Resize+CenterCrop semantics. img is HWC uint8
-    or float in [0,1]."""
+    or float in [0,1].
+
+    Backend order: the native C++ pipeline (masked_diffusion_tpu.native,
+    OpenMP, classic pixel-center bilinear — identical algorithm to the numpy
+    fallback below) when MDT_NATIVE_PREPROCESS=1 or PIL is missing; else PIL
+    (antialiased bilinear, torchvision-matching); else numpy."""
+    if os.environ.get("MDT_NATIVE_PREPROCESS") or not _HAS_PIL:
+        from masked_diffusion_tpu import native
+
+        out = native.resize_center_crop_native(img, size)
+        if out is not None:
+            return out
     h, w = img.shape[:2]
     if h < w:
         nh, nw = size, max(size, int(round(w * size / h)))
@@ -256,6 +267,23 @@ class InMemoryDataset:
         return -(-len(self) // batch_size)
 
 
+def _preprocess_uniform_batch(raw: np.ndarray, size: int) -> np.ndarray:
+    """Resize+crop a same-sized uint8 batch to (N, size, size, C) float [0,1].
+
+    Uses the native OpenMP pipeline (masked_diffusion_tpu.native) when the
+    images only upscale or mildly downscale — there classic bilinear matches
+    the PIL path closely; heavy downscales keep PIL's antialiased filter.
+    """
+    h, w = raw.shape[1:3]
+    if min(h, w) <= 2 * size:
+        from masked_diffusion_tpu import native
+
+        out = native.preprocess_batch_native(np.asarray(raw), size)
+        if out is not None:
+            return out
+    return np.stack([resize_center_crop(im, size) for im in raw])
+
+
 def save_dataset(dataset: "InMemoryDataset", path: str) -> str:
     """Export the preloaded tensors to one .npz file — the analog of the
     reference's per-run .pt dump (mydataset.save_dataset :213-232)."""
@@ -361,22 +389,15 @@ def get_dataset(
         n = num_data if (data_subset and num_data) else 1024
         raw, labels = make_synthetic(n, size, channels=3, seed=seed)
         imgs = raw  # already [0,1] at final size
-    elif name_l == "mnist":
-        raw, labels = load_mnist_idx(path, split)
+    elif name_l in ("mnist", "cifar10"):
+        loader = load_mnist_idx if name_l == "mnist" else load_cifar10
+        raw, labels = loader(path, split)
         if label_filter is not None:
             keep = labels == label_filter
             raw, labels = raw[keep], labels[keep]
         if data_subset and num_data:
             raw, labels = raw[:num_data], labels[:num_data]
-        imgs = np.stack([resize_center_crop(im, size) for im in raw])
-    elif name_l == "cifar10":
-        raw, labels = load_cifar10(path, split)
-        if label_filter is not None:
-            keep = labels == label_filter
-            raw, labels = raw[keep], labels[keep]
-        if data_subset and num_data:
-            raw, labels = raw[:num_data], labels[:num_data]
-        imgs = np.stack([resize_center_crop(im, size) for im in raw])
+        imgs = _preprocess_uniform_batch(raw, size)
     else:
         # ImageFolder-style datasets: celeba_hq/{split}, afhqv2/{split},
         # metfaces, stanfordcars, flowers102, lsun (mydataset.py:118-199)

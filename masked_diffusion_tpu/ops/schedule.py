@@ -69,10 +69,12 @@ def sigmoid_schedule(num_steps: int, base: float, image_size: int) -> np.ndarray
         raise ValueError(
             "Desired to remove number of pixels is greater than the size of input image."
         )
-    result = []
-    for i in range(num_steps):
-        x = 1 + (image_size - 1) * (1.0 / (1.0 + math.exp(-0.1 * base * (i - num_steps / 2))))
-        result.append(int(x))
+    i = np.arange(num_steps, dtype=np.float64)
+    # np.exp saturates to inf for large arguments (logistic -> 0) instead of
+    # raising like math.exp — needed at T=4096 where the argument hits ±2048
+    with np.errstate(over="ignore"):
+        logistic = 1.0 / (1.0 + np.exp(-0.1 * base * (i - num_steps / 2)))
+    result = (1 + (image_size - 1) * logistic).astype(int).tolist()
     min_val = min(result)
     result = [v - min_val + 1 for v in result]
     max_val = max(result)

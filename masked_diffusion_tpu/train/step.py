@@ -51,8 +51,11 @@ def create_train_state(
     tx: optax.GradientTransformation,
     use_ema: bool = True,
 ) -> TrainState:
-    x = jnp.zeros(sample_shape, jnp.float32)
-    t = jnp.zeros((sample_shape[0],), jnp.float32)
+    # init at batch 1: parameters are batch-independent, and the init-time
+    # forward pass at full batch can transiently exhaust HBM (fp32
+    # activations, no donation) before training even starts
+    x = jnp.zeros((1,) + tuple(sample_shape[1:]), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
     params = model.init(key, x, t)
     ema_params = jax.tree.map(jnp.copy, params) if use_ema else None
     return TrainState(

@@ -102,7 +102,7 @@ def build_torch_unet(channels=(128, 128, 256, 256, 512, 512), layers_per_block=2
             self.mid_attn = Attn(prev)
             self.mid2 = Resnet(prev, prev, temb_dim)
             rev = list(reversed(channels))
-            rev_attn = list(reversed(attn_up))
+            # attn_up is in diffusers up_block_types order: index 0 = deepest
             self.up = nn.ModuleList()
             self.attn_u = nn.ModuleList()
             self.upsample = nn.ModuleList()
@@ -112,7 +112,7 @@ def build_torch_unet(channels=(128, 128, 256, 256, 512, 512), layers_per_block=2
                 attns = nn.ModuleList()
                 for j in range(layers_per_block + 1):
                     blocks.append(None)  # filled at runtime by channel bookkeeping
-                    attns.append(Attn(c) if rev_attn[i] else nn.Identity())
+                    attns.append(Attn(c) if attn_up[i] else nn.Identity())
                 self.up.append(blocks)
                 self.attn_u.append(attns)
                 self.upsample.append(

@@ -188,6 +188,8 @@ class UNetConfig:
     out_channels: int = 3
     block_out_channels: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
     layers_per_block: int = 2
+    # attn_down: shallowest level first (diffusers down_block_types order);
+    # attn_up: DEEPEST block first (diffusers up_block_types order)
     attn_down: Tuple[bool, ...] = (False, False, False, False, True, False)
     attn_up: Tuple[bool, ...] = (False, True, False, False, False, False)
     attention_head_dim: int = 8
@@ -276,9 +278,11 @@ class UNet2D(nn.Module):
         )(h)
         h = ResnetBlock(ch[-1], name="mid_res_2", **res_kw)(h, temb, deterministic)
 
-        # ---- up path (processing order: deepest level first)
+        # ---- up path (processing order: deepest level first). attn_up is in
+        # diffusers up_block_types order — index 0 = deepest block (2x2 at
+        # 64x64 input), matching utils/model.py:6-20 where e.g. num_attention=1
+        # puts AttnUpBlock2D at position 1 (4x4), NOT at a shallow level.
         rev_ch = tuple(reversed(ch))
-        rev_attn = tuple(reversed(cfg.attn_up))
         for i in range(n_levels):
             for layer in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
@@ -287,7 +291,7 @@ class UNet2D(nn.Module):
                 h = maybe_remat(
                     lambda hh, tt, _blk=blk: _blk(hh, tt, deterministic)
                 )(h, temb)
-                if rev_attn[i]:
+                if cfg.attn_up[i]:
                     h = AttentionBlock(
                         head_dim=cfg.attention_head_dim,
                         name=f"up_{i}_attn_{layer}", **block_kw,

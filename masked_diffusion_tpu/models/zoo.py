@@ -69,7 +69,7 @@ def _zoo_config(
         return UNetConfig(
             sample_size=size, in_channels=data_channel, out_channels=out_channel,
             block_out_channels=channels, layers_per_block=2,
-            attn_down=attn, attn_up=attn, norm_groups=8,
+            attn_down=attn, attn_up=tuple(reversed(attn)), norm_groups=8,
         )
     elif name == "unet4":
         base, mults = 128, (1, 2, 4, 8)
@@ -82,7 +82,7 @@ def _zoo_config(
         return UNetConfig(
             sample_size=size, in_channels=data_channel, out_channels=out_channel,
             block_out_channels=channels, layers_per_block=3,
-            attn_down=attn, attn_up=attn,
+            attn_down=attn, attn_up=tuple(reversed(attn)),
         )
     elif name == "unet6":
         base = 128
@@ -101,10 +101,12 @@ def _zoo_config(
     else:
         raise NotImplementedError("model selection error")
 
+    # attn_up is diffusers up_block_types order (deepest first); mirroring the
+    # down placement by resolution therefore reverses the tuple
     return UNetConfig(
         sample_size=size, in_channels=data_channel, out_channels=out_channel,
         block_out_channels=channels, layers_per_block=2,
-        attn_down=attn, attn_up=attn,
+        attn_down=attn, attn_up=tuple(reversed(attn)),
     )
 
 

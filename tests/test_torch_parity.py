@@ -94,11 +94,11 @@ def port_weights(tmodel) -> dict:
                 p[f"down_{i}_attn_{j}"] = _attn(tmodel.attn_d[i][j])
         if i != n - 1:
             p[f"down_{i}_downsample"] = {"conv": _conv(tmodel.downsample[i])}
-    rev_attn = tuple(reversed(ATTN_UP))
+    # attn_up is diffusers up_block_types order: index 0 = deepest up block
     for i in range(n):
         for j in range(LAYERS + 1):
             p[f"up_{i}_res_{j}"] = _resnet(tmodel.up[i][j])
-            if rev_attn[i]:
+            if ATTN_UP[i]:
                 p[f"up_{i}_attn_{j}"] = _attn(tmodel.attn_u[i][j])
         if i != n - 1:
             p[f"up_{i}_upsample"] = {"conv": _conv(tmodel.upsample[i][1])}

@@ -175,6 +175,20 @@ class Trainer:
 
             # host sync once per epoch
             losses = [{k: float(v) for k, v in m.items()} for m in losses]
+            # failure detection (absent in the reference, SURVEY.md §5): a
+            # non-finite loss poisons params, EMA, and every later checkpoint;
+            # save a post-mortem checkpoint and stop instead of training on
+            if losses and not all(np.isfinite(m["train_loss"]) for m in losses):
+                if dirs is not None:
+                    save_checkpoint(
+                        dirs.list_dir["checkpoint"], epoch, self.global_step,
+                        self.state.params, self.state.ema_params,
+                        self.state.opt_state, extra_meta={"non_finite_loss": True},
+                    )
+                raise FloatingPointError(
+                    f"non-finite train loss at epoch {epoch} "
+                    f"(global step {self.global_step}); post-mortem checkpoint saved"
+                )
             loss_mean = statistics.mean(m["train_loss"] for m in losses) if losses else 0.0
             self.loss_mean_epoch.append(loss_mean)
             self.lr_list.extend(m.get("lr", 0.0) for m in losses)

@@ -28,6 +28,10 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from masked_diffusion_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from masked_diffusion_tpu.config import Config
     from masked_diffusion_tpu.models import build_unet
     from masked_diffusion_tpu.models.unet import count_params
@@ -93,7 +97,9 @@ def main() -> int:
     state = create_train_state(
         model, jax.random.PRNGKey(0), (batch, data_size, data_size, 3), tx
     )
-    step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=False)
+    # donate: the state (params+EMA+opt moments, ~2.3GB fp32) updates in place
+    # instead of allocating fresh buffers every step — same as the Trainer
+    step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=True)
     batch_data = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (batch, data_size, data_size, 3)),
         jnp.float32,

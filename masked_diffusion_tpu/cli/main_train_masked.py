@@ -150,6 +150,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from masked_diffusion_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from masked_diffusion_tpu.data.datasets import get_dataset
     from masked_diffusion_tpu.data.histogram import compute_mean_histogram, empty_histogram
     from masked_diffusion_tpu.parallel.mesh import make_mesh

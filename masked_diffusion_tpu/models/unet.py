@@ -65,22 +65,72 @@ def timestep_embedding(
     return out
 
 
+class GroupNormAct(nn.Module):
+    """GroupNorm + affine + optional fused SiLU.
+
+    Owns the same (scale, bias) parameter leaves as flax nn.GroupNorm, so
+    checkpoints are interchangeable between the XLA and Pallas paths. When
+    `pallas` resolves true (TPU backend, VMEM-sized block, lane-aligned
+    channels) the fused single-pass kernel (ops/pallas/groupnorm.py) runs —
+    the UNet forward is HBM-bound, and fusing GN's two passes into one is
+    worth ~one full tensor read per norm. Otherwise: fp32-stat jnp math,
+    numerically the flax GroupNorm formulation.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+    use_silu: bool = True
+    pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from masked_diffusion_tpu.ops.pallas.groupnorm import (
+            _gn_reference,
+            group_norm_silu,
+            pallas_norm_supported,
+        )
+
+        b, h, w, c = x.shape
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if self.pallas and pallas_norm_supported(h, w, c, self.num_groups):
+            out = group_norm_silu(
+                x, scale, bias, self.num_groups, self.epsilon, self.use_silu
+            )
+        else:
+            out = _gn_reference(x, scale, bias, self.num_groups, self.epsilon, self.use_silu)
+        return out.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     norm_groups: int = 32
     norm_eps: float = 1e-5
+    pallas_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+
+    def _norm_act(self, x: Array, channels: int, use_silu: bool, name: str) -> Array:
+        # identical param leaves either way: {name}/{scale,bias}
+        if self.pallas_norm:
+            return GroupNormAct(
+                num_groups=_norm_groups(channels, self.norm_groups),
+                epsilon=self.norm_eps, use_silu=use_silu, pallas=True,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+            )(x)
+        h = nn.GroupNorm(
+            num_groups=_norm_groups(channels, self.norm_groups), epsilon=self.norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+        )(x)
+        return nn.silu(h) if use_silu else h
 
     @nn.compact
     def __call__(self, x: Array, temb: Array, deterministic: bool = True) -> Array:
         c_in = x.shape[-1]
-        h = nn.GroupNorm(
-            num_groups=_norm_groups(c_in, self.norm_groups), epsilon=self.norm_eps,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="norm1",
-        )(x)
-        h = nn.silu(h)
+        h = self._norm_act(x, c_in, True, "norm1")
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv1",
@@ -92,12 +142,7 @@ class ResnetBlock(nn.Module):
         )(nn.silu(temb))
         h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(
-            num_groups=_norm_groups(self.out_channels, self.norm_groups),
-            epsilon=self.norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="norm2",
-        )(h)
-        h = nn.silu(h)
+        h = self._norm_act(h, self.out_channels, True, "norm2")
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -119,6 +164,7 @@ class AttentionBlock(nn.Module):
     head_dim: int = 8
     norm_groups: int = 32
     norm_eps: float = 1e-5
+    pallas_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -128,10 +174,17 @@ class AttentionBlock(nn.Module):
         heads = max(1, c // self.head_dim)
         dim_head = c // heads
 
-        hidden = nn.GroupNorm(
-            num_groups=_norm_groups(c, self.norm_groups), epsilon=self.norm_eps,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="group_norm",
-        )(x)
+        if self.pallas_norm:
+            hidden = GroupNormAct(
+                num_groups=_norm_groups(c, self.norm_groups), epsilon=self.norm_eps,
+                use_silu=False, pallas=True,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="group_norm",
+            )(x)
+        else:
+            hidden = nn.GroupNorm(
+                num_groups=_norm_groups(c, self.norm_groups), epsilon=self.norm_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="group_norm",
+            )(x)
         hidden = hidden.reshape(b, h * w, c)
 
         q = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_q")(hidden)
@@ -199,6 +252,12 @@ class UNetConfig:
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     remat: bool = False  # jax.checkpoint each level (trade FLOPs for HBM)
+    # fused Pallas GroupNorm+SiLU (ops/pallas/groupnorm.py): opt-in. Measured
+    # on v5e at the flagship config it LOSES to XLA's two-pass GN (26.8 vs
+    # 14.0 ms/step): the per-image kernel grid serializes what XLA batches,
+    # and the forward already runs at ~84% of its HBM roofline. Kept as the
+    # kernel seam for future multi-image blocking; None resolves to off.
+    pallas_norm: Optional[bool] = None
 
     def __post_init__(self):
         n = len(self.block_out_channels)
@@ -249,7 +308,11 @@ class UNet2D(nn.Module):
         )(x)
 
         dtype_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        block_kw = dict(norm_groups=cfg.norm_groups, norm_eps=cfg.norm_eps, **dtype_kw)
+        pallas_norm = bool(cfg.pallas_norm) if cfg.pallas_norm is not None else False
+        block_kw = dict(
+            norm_groups=cfg.norm_groups, norm_eps=cfg.norm_eps,
+            pallas_norm=pallas_norm, **dtype_kw,
+        )
         res_kw = dict(dropout=cfg.dropout, **block_kw)
         maybe_remat = (lambda f: jax.checkpoint(f)) if cfg.remat else (lambda f: f)
 
@@ -300,11 +363,18 @@ class UNet2D(nn.Module):
                 h = Upsample(rev_ch[i], name=f"up_{i}_upsample", **dtype_kw)(h)
 
         # ---- out
-        h = nn.GroupNorm(
-            num_groups=_norm_groups(ch[0], cfg.norm_groups), epsilon=cfg.norm_eps,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="norm_out",
-        )(h)
-        h = nn.silu(h)
+        if pallas_norm:
+            h = GroupNormAct(
+                num_groups=_norm_groups(ch[0], cfg.norm_groups), epsilon=cfg.norm_eps,
+                use_silu=True, pallas=True,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="norm_out",
+            )(h)
+        else:
+            h = nn.GroupNorm(
+                num_groups=_norm_groups(ch[0], cfg.norm_groups), epsilon=cfg.norm_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="norm_out",
+            )(h)
+            h = nn.silu(h)
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -91,6 +91,27 @@ def sync_global_devices(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def put_global_batch(plan: MeshPlan, global_batch: np.ndarray):
+    """Form the globally batch-sharded device array from host data.
+
+    Single-process: a plain device_put with the batch sharding. Multi-host
+    (after init_distributed): each process passes the SAME logical global
+    batch; only this process's slice is touched — the reference's per-rank
+    DataLoader sharding (accelerator.prepare, main_train_masked.py:299)
+    becomes process-local slicing + jax.make_array_from_process_local_data.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(global_batch, plan.batch_sharding)
+    n = global_batch.shape[0]
+    per = n // jax.process_count()
+    if per * jax.process_count() != n:
+        raise ValueError(
+            f"global batch {n} not divisible by process count {jax.process_count()}"
+        )
+    local = global_batch[jax.process_index() * per : (jax.process_index() + 1) * per]
+    return jax.make_array_from_process_local_data(plan.batch_sharding, local, (n,) + global_batch.shape[1:])
+
+
 def pad_to_multiple(batch: np.ndarray, multiple: int):
     """Pad a host batch so its leading dim divides the data axis; returns
     (padded, real_count)."""

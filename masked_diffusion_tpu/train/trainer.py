@@ -130,7 +130,9 @@ class Trainer:
 
     def _put_batch(self, batch: np.ndarray):
         if self.mesh_plan is not None:
-            return jax.device_put(batch, self.mesh_plan.batch_sharding)
+            from masked_diffusion_tpu.parallel.mesh import put_global_batch
+
+            return put_global_batch(self.mesh_plan, batch)
         return jnp.asarray(batch)
 
     # ------------------------------------------------------------------ train

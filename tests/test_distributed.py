@@ -125,3 +125,18 @@ class TestDryrunContract:
         )
         for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_put_global_batch_single_process():
+    """put_global_batch shards the batch over the data axis (single-process
+    path; the multi-host path is the same sharding assembled from per-process
+    slices)."""
+    import numpy as np
+    from masked_diffusion_tpu.parallel.mesh import make_mesh, put_global_batch
+
+    plan = make_mesh()
+    batch = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    arr = put_global_batch(plan, batch)
+    assert arr.shape == (16, 4)
+    np.testing.assert_array_equal(np.asarray(arr), batch)
+    assert len(arr.addressable_shards) == plan.data_size

@@ -229,19 +229,12 @@ def main(argv=None) -> int:
         trainer.train(first_epoch, cfg.num_epochs, resume_step, global_step, dirs, visualizer)
     elif method == "test":
         from masked_diffusion_tpu.io.checkpoint import load_checkpoint
-        from masked_diffusion_tpu.models import build_unet
         from masked_diffusion_tpu.tester import Tester
         from masked_diffusion_tpu.train.step import create_train_state
         from masked_diffusion_tpu.train.optim import build_lr_schedule, build_optimizer
-        import jax.numpy as jnp
+        from masked_diffusion_tpu.train.trainer import build_model_from_config
 
-        model = build_unet(
-            dim_channel=cfg.in_channel, dim_height=cfg.data_size,
-            dim_width=cfg.data_size, num_attention=cfg.num_attention,
-            block_out_channels=cfg.block_out_channels,
-            layers_per_block=cfg.layers_per_block,
-            dtype=jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32,
-        )
+        model = build_model_from_config(cfg)
         tx = build_optimizer("adamw", build_lr_schedule("constant", cfg.lr, 0, 1))
         state = create_train_state(
             model, jax.random.PRNGKey(cfg.seed),

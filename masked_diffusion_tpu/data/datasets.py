@@ -41,6 +41,11 @@ except ImportError:  # pragma: no cover
 IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".ppm", ".tif", ".tiff")
 
 
+def _native_preprocess_enabled() -> bool:
+    """Opt-in flag for the C++ preprocessing path ('0'/'false' disable)."""
+    return os.environ.get("MDT_NATIVE_PREPROCESS", "").lower() in ("1", "true", "yes")
+
+
 # ---------------------------------------------------------------------------
 # transforms
 # ---------------------------------------------------------------------------
@@ -53,9 +58,9 @@ def resize_center_crop(img: np.ndarray, size: int) -> np.ndarray:
 
     Backend order: the native C++ pipeline (masked_diffusion_tpu.native,
     OpenMP, classic pixel-center bilinear — identical algorithm to the numpy
-    fallback below) when MDT_NATIVE_PREPROCESS=1 or PIL is missing; else PIL
-    (antialiased bilinear, torchvision-matching); else numpy."""
-    if os.environ.get("MDT_NATIVE_PREPROCESS") or not _HAS_PIL:
+    fallback below) when MDT_NATIVE_PREPROCESS is truthy or PIL is missing;
+    else PIL (antialiased bilinear, torchvision-matching); else numpy."""
+    if _native_preprocess_enabled() or not _HAS_PIL:
         from masked_diffusion_tpu import native
 
         out = native.resize_center_crop_native(img, size)
@@ -270,12 +275,12 @@ class InMemoryDataset:
 def _preprocess_uniform_batch(raw: np.ndarray, size: int) -> np.ndarray:
     """Resize+crop a same-sized uint8 batch to (N, size, size, C) float [0,1].
 
-    Uses the native OpenMP pipeline (masked_diffusion_tpu.native) when the
-    images only upscale or mildly downscale — there classic bilinear matches
-    the PIL path closely; heavy downscales keep PIL's antialiased filter.
+    Uses the native OpenMP batch pipeline under the same opt-in as the
+    per-image path (MDT_NATIVE_PREPROCESS, or PIL missing) — the default
+    stays PIL's antialiased, torchvision-matching filter so loader families
+    share transform semantics.
     """
-    h, w = raw.shape[1:3]
-    if min(h, w) <= 2 * size:
+    if _native_preprocess_enabled() or not _HAS_PIL:
         from masked_diffusion_tpu import native
 
         out = native.preprocess_batch_native(np.asarray(raw), size)
@@ -379,6 +384,13 @@ def get_dataset(
     routes through the HF adapter (main_train_masked.py:47-49).
     """
     if "hugging" in str(path):
+        if label_filter is not None:
+            # the HF adapter slices the split before any filtering could run
+            # (datasetutilsHugging.py:103 semantics) — fail loudly instead of
+            # silently returning all classes
+            raise NotImplementedError(
+                "label_filter is not supported on the huggingface adapter path"
+            )
         from masked_diffusion_tpu.data.hugging import load_hf_dataset
 
         return load_hf_dataset(

@@ -26,15 +26,15 @@ namespace {
 // bilinear sample of channel c at (y, x) from an HWC uint8 image
 inline float sample_bilinear(const uint8_t* src, int h, int w, int ch,
                              float y, float x, int c) {
-  int y0 = static_cast<int>(std::floor(y));
-  int x0 = static_cast<int>(std::floor(x));
-  float wy = y - y0, wx = x - x0;
-  y0 = std::min(std::max(y0, 0), h - 1);
-  x0 = std::min(std::max(x0, 0), w - 1);
+  // clamp indices FIRST, then weights relative to the clamped base — out-of-
+  // range coords (every upscale's border) must replicate the edge row/col,
+  // not blend it with its neighbor (matches datasets._bilinear_resize)
+  int y0 = std::min(std::max(static_cast<int>(std::floor(y)), 0), h - 1);
+  int x0 = std::min(std::max(static_cast<int>(std::floor(x)), 0), w - 1);
   int y1 = std::min(y0 + 1, h - 1);
   int x1 = std::min(x0 + 1, w - 1);
-  wy = std::min(std::max(wy, 0.0f), 1.0f);
-  wx = std::min(std::max(wx, 0.0f), 1.0f);
+  float wy = std::min(std::max(y - y0, 0.0f), 1.0f);
+  float wx = std::min(std::max(x - x0, 0.0f), 1.0f);
   const float a = src[(y0 * w + x0) * ch + c];
   const float b = src[(y0 * w + x1) * ch + c];
   const float d = src[(y1 * w + x0) * ch + c];

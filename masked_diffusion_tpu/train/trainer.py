@@ -38,6 +38,31 @@ from masked_diffusion_tpu.utils.profiling import trace
 from masked_diffusion_tpu.io.checkpoint import save_checkpoint
 
 
+def build_model_from_config(cfg: Config):
+    """Model dispatch shared by the Trainer and the --method test arm: the
+    default diffusers-style factory (--num_attention) or a named zoo
+    architecture (--model unet1..unet6, models_Unet.py:17). The test arm MUST
+    build the same tree the training run checkpointed, or orbax restore
+    fails on template mismatch."""
+    compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
+    if cfg.model != "default":
+        from masked_diffusion_tpu.models.zoo import Model as zoo_model
+
+        return zoo_model(
+            cfg.model, cfg.in_channel, cfg.data_size, cfg.data_size,
+            cfg.out_channel, dtype=compute_dtype,
+        )
+    return build_unet(
+        dim_channel=cfg.in_channel,
+        dim_height=cfg.data_size,
+        dim_width=cfg.data_size,
+        num_attention=cfg.num_attention,
+        block_out_channels=cfg.block_out_channels,
+        layers_per_block=cfg.layers_per_block,
+        dtype=compute_dtype,
+    )
+
+
 class Trainer:
     def __init__(
         self,
@@ -61,27 +86,7 @@ class Trainer:
         )
         cfg.updated_ddpm_num_steps = self.schedule.num_steps
 
-        compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
-        if model is not None:
-            self.model = model
-        elif cfg.model != "default":
-            # named zoo architectures (--model unet1..unet6, models_Unet.py:17)
-            from masked_diffusion_tpu.models.zoo import Model as zoo_model
-
-            self.model = zoo_model(
-                cfg.model, cfg.in_channel, cfg.data_size, cfg.data_size,
-                cfg.out_channel, dtype=compute_dtype,
-            )
-        else:
-            self.model = build_unet(
-                dim_channel=cfg.in_channel,
-                dim_height=cfg.data_size,
-                dim_width=cfg.data_size,
-                num_attention=cfg.num_attention,
-                block_out_channels=cfg.block_out_channels,
-                layers_per_block=cfg.layers_per_block,
-                dtype=compute_dtype,
-            )
+        self.model = model if model is not None else build_model_from_config(cfg)
 
         steps_per_epoch = dataset.num_batches(cfg.batch_size)
         total_steps = max(1, steps_per_epoch * cfg.num_epochs)

@@ -32,6 +32,12 @@ python -m masked_diffusion_tpu.cli.main_train_masked \
     --select_degrade_pixel "indexing" \
     --mean_option "degraded_area" \
     --shift_type "1-d_constant" \
+    --sample_latent_shape "data" \
+    --sampling "momentum" \
+    --momentum_adaptive "base_momentum" \
+    --sampling_mask_dependency "independent" \
+    --sample_num 64 \
+    --save_images_epochs 500 \
     --resume_from_checkpoint "latest" \
     --output_dir "$MDT_CHECKPOINT_DIR" \
     --mixed_precision "${MDT_MIXED_PRECISION:-bf16}" \

@@ -32,6 +32,17 @@ def test_single_image_matches_numpy(lib_available):
     np.testing.assert_allclose(out, ref, atol=2e-2)  # uint8 rounding paths
 
 
+def test_upscale_border_matches_numpy(lib_available):
+    """Regression: weights must be computed AFTER index clamping — an
+    upscale's border rows/cols replicate the edge, never blend it with its
+    neighbor (28->32 mnist-style upscale, the default training path)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (28, 28, 1), dtype=np.uint8)
+    out = native.resize_center_crop_native(img, 32)
+    ref = _bilinear_resize(img.astype(np.float32), 32, 32) / 255.0
+    np.testing.assert_allclose(out, ref, atol=1e-2)
+
+
 def test_batch_matches_single(lib_available):
     rng = np.random.default_rng(1)
     batch = rng.integers(0, 255, (8, 28, 28, 1), dtype=np.uint8)

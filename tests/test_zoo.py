@@ -109,3 +109,18 @@ def test_saliency_bad_work_raises():
 
     with pytest.raises(NotImplementedError):
         SaliencyModel("critic")
+
+
+def test_build_model_from_config_dispatch():
+    """Trainer and the --method test arm share one dispatch — a zoo-trained
+    checkpoint must meet the same parameter tree at evaluation."""
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.train.trainer import build_model_from_config
+
+    cfg = Config(model="unet6", data_size=32, in_channel=3, out_channel=3)
+    m = build_model_from_config(cfg)
+    assert m.config.block_out_channels == (128, 256, 256, 256)
+
+    cfg = Config(model="default", data_size=32, num_attention=1)
+    m = build_model_from_config(cfg)
+    assert len(m.config.block_out_channels) == 6

@@ -283,9 +283,15 @@ class Trainer:
 
     def _save_ema_momentum_sample(self, dirs, epoch: int, visualizer=None) -> None:
         """EMA sampling + global/local grids
-        (trainer_masked_mean_shift.py:409-429)."""
+        (trainer_masked_mean_shift.py:409-429); with capture_trajectory on,
+        per-item step trajectories also land in sample_all_t (the reference's
+        visual_list grids, sampler.py:390-417)."""
         out = self.sample_ema(jax.random.PRNGKey(self.cfg.seed + epoch))
-        sample = np.asarray(out[0] if isinstance(out, tuple) else out)
+        if isinstance(out, tuple):
+            sample, trajectory = np.asarray(out[0]), out[1]
+            self._save_trajectory_grids(dirs, epoch, trajectory)
+        else:
+            sample = np.asarray(out)
         d = dirs.list_dir["ema_sample_img"]
         g_global = save_image_grid(
             sample, "global", d, f"ema_sample_{epoch:05d}_global.png"
@@ -301,3 +307,21 @@ class Trainer:
                     "ema_sample_result_normalize_local": g_local,
                 },
             )
+
+    def _save_trajectory_grids(self, dirs, epoch: int, trajectory: dict) -> None:
+        """One per-item grid over timesteps for the carried sample state
+        (scan ys are (T, N, H, W, C); transpose to (N, T, ...) for the
+        multi-index grid, sampler.py:390-417)."""
+        from masked_diffusion_tpu.utils.grids import save_multi_index_image_grid, save_png
+
+        d = dirs.list_dir["sample_all_t"]
+        for key in ("sample_t", "sample_0"):
+            if key not in trajectory:
+                continue
+            traj = np.asarray(trajectory[key]).transpose(1, 0, 2, 3, 4)
+            grids = save_multi_index_image_grid(traj, normalization="image")
+            for i, g in enumerate(grids[: min(4, len(grids))]):
+                save_png(
+                    np.clip(g, 0.0, 1.0),
+                    os.path.join(d, f"{key}_{epoch:05d}_item{i}.png"),
+                )

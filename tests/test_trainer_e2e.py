@@ -118,3 +118,36 @@ class TestDedupUnits:
         assert len(unique) == 2
         fresh = dedup_against(unique, a)
         assert len(fresh) == 1  # only b survives
+
+
+def test_trajectory_grids_saved(tmp_path):
+    """capture_trajectory=True writes per-item step grids to sample_all_t
+    (the reference's visual_list artifacts, sampler.py:390-417)."""
+    import glob
+    import os
+
+    import jax
+    import numpy as np
+
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.data.datasets import InMemoryDataset, make_synthetic
+    from masked_diffusion_tpu.train.trainer import Trainer
+    from masked_diffusion_tpu.utils.dirs import Dir
+
+    cfg = Config(
+        method="base", data_size=8, batch_size=4, num_epochs=1,
+        ddpm_schedule="log", ddpm_num_steps=4, select_degrade_pixel="indexing",
+        mean_option="degraded_area", shift_type="non_shift", use_ema=True,
+        use_wandb=False, block_out_channels=(8, 16), layers_per_block=1,
+        lr_warmup_steps=0, sample_latent_shape="zero", sample_num=2,
+        capture_trajectory=True, save_images_epochs=1,
+    )
+    data, labels = make_synthetic(8, 8, seed=0)
+    trainer = Trainer(cfg, InMemoryDataset(data, labels))
+    dirs = Dir(task="train", content="traj", dir_work=str(tmp_path),
+               dir_dataset="", data_name="synthetic", data_set="train",
+               data_size=8, method="base", title="t")
+    trainer.train(0, 1, dirs=dirs)
+    pngs = glob.glob(os.path.join(dirs.list_dir["sample_all_t"], "*.png"))
+    assert any("sample_t_" in p for p in pngs)
+    assert any("sample_0_" in p for p in pngs)

@@ -1,0 +1,69 @@
+"""CLI end-to-end on the virtual CPU mesh: fresh train run, resume from
+latest checkpoint (main_train_masked.py:250-277 semantics), and the error
+surfaces (bad method, invalid schedule coupling)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from masked_diffusion_tpu.cli.main_train_masked import main
+
+
+def _args(tmp_path, title, extra=()):
+    return [
+        "--method", "base", "--data_name", "synthetic", "--data_size", "8",
+        "--data_subset", "True", "--data_subset_num", "32",
+        "--batch_size", "8", "--ddpm_schedule", "log", "--ddpm_num_steps", "6",
+        "--select_degrade_pixel", "indexing", "--mean_option", "degraded_area",
+        "--shift_type", "non_shift", "--num_epochs", "2",
+        "--save_images_epochs", "2", "--sample_num", "2",
+        "--sample_latent_shape", "zero",
+        "--use_wandb", "False", "--use_mlflow", "False",
+        "--lr", "1e-3", "--lr_warmup_steps", "0",
+        "--block_out_channels", "8,16", "--layers_per_block", "1",
+        "--dir_work", str(tmp_path), "--content", "cli", "--title", title,
+        *extra,
+    ]
+
+
+def test_cli_train_then_resume(tmp_path):
+    assert main(_args(tmp_path, "first")) == 0
+    runs = glob.glob(str(tmp_path / "result/cli/synthetic/base/*/first"))
+    assert len(runs) == 1
+    ckpt_dir = os.path.join(runs[0], "checkpoint")
+    ckpts = sorted(os.listdir(ckpt_dir))
+    assert ckpts, "no checkpoints written"
+    with open(os.path.join(ckpt_dir, ckpts[-1], "meta.json")) as f:
+        first_meta = json.load(f)
+    assert first_meta["global_step"] > 0
+
+    # resume: global_step continues from the restored checkpoint
+    assert main(_args(
+        tmp_path, "resumed",
+        ("--resume_from_checkpoint", "latest", "--output_dir", ckpt_dir,
+         "--num_epochs", "3"),
+    )) == 0
+    runs2 = glob.glob(str(tmp_path / "result/cli/synthetic/base/*/resumed"))
+    ckpt_dir2 = os.path.join(runs2[0], "checkpoint")
+    metas = []
+    for c in sorted(os.listdir(ckpt_dir2)):
+        with open(os.path.join(ckpt_dir2, c, "meta.json")) as f:
+            metas.append(json.load(f))
+    assert max(m["global_step"] for m in metas) > first_meta["global_step"]
+
+    # option.ini dumped for both runs
+    assert os.path.exists(os.path.join(runs2[0], "option", "option.ini"))
+
+
+def test_cli_bad_method(tmp_path):
+    with pytest.raises(SystemExit):
+        main(_args(tmp_path, "bad", ("--method", "bogus")))
+
+
+def test_cli_invalid_schedule_coupling(tmp_path):
+    # linear ratios + exact-count indexing is the documented drift class
+    # (SURVEY.md §0); the CLI must fail fast with the named error
+    with pytest.raises(ValueError, match="indexing"):
+        main(_args(tmp_path, "badsched", ("--ddpm_schedule", "linear")))

@@ -102,14 +102,15 @@ def put_global_batch(plan: MeshPlan, global_batch: np.ndarray):
     """
     if jax.process_count() == 1:
         return jax.device_put(global_batch, plan.batch_sharding)
-    n = global_batch.shape[0]
-    per = n // jax.process_count()
-    if per * jax.process_count() != n:
-        raise ValueError(
-            f"global batch {n} not divisible by process count {jax.process_count()}"
-        )
-    local = global_batch[jax.process_index() * per : (jax.process_index() + 1) * per]
-    return jax.make_array_from_process_local_data(plan.batch_sharding, local, (n,) + global_batch.shape[1:])
+    # every process passes the same full global batch; with global_shape ==
+    # data.shape, make_array_from_process_local_data takes each process's
+    # addressable slices from the SAME coordinates of the global array — no
+    # assumptions about which rows the mesh's device order assigned to which
+    # process (hand-rolled contiguous slicing would silently permute rows
+    # under create_device_mesh's topology-driven reordering)
+    return jax.make_array_from_process_local_data(
+        plan.batch_sharding, global_batch, global_batch.shape
+    )
 
 
 def pad_to_multiple(batch: np.ndarray, multiple: int):

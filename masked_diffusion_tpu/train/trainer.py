@@ -315,12 +315,16 @@ class Trainer:
         from masked_diffusion_tpu.utils.grids import save_multi_index_image_grid, save_png
 
         d = dirs.list_dir["sample_all_t"]
+        n_items = 4
         for key in ("sample_t", "sample_0"):
             if key not in trajectory:
                 continue
-            traj = np.asarray(trajectory[key]).transpose(1, 0, 2, 3, 4)
+            # slice items on-device BEFORE transfer: the full trajectory is
+            # (T, N, H, W, C) — ~3GB at the flagship config — and only
+            # n_items are rendered
+            traj = np.asarray(trajectory[key][:, :n_items]).transpose(1, 0, 2, 3, 4)
             grids = save_multi_index_image_grid(traj, normalization="image")
-            for i, g in enumerate(grids[: min(4, len(grids))]):
+            for i, g in enumerate(grids):
                 save_png(
                     np.clip(g, 0.0, 1.0),
                     os.path.join(d, f"{key}_{epoch:05d}_item{i}.png"),

@@ -19,7 +19,7 @@ import os
 def enable_persistent_cache() -> str | None:
     """Idempotently enable the JAX compilation disk cache. Returns the cache
     directory, or None when disabled/unavailable."""
-    if os.environ.get("MDT_DISABLE_COMPILE_CACHE"):
+    if os.environ.get("MDT_DISABLE_COMPILE_CACHE", "").lower() in ("1", "true", "yes"):
         return None
     path = (
         os.environ.get("MDT_COMPILE_CACHE_DIR")

@@ -51,7 +51,9 @@ def test_cli_train_then_resume(tmp_path):
     for c in sorted(os.listdir(ckpt_dir2)):
         with open(os.path.join(ckpt_dir2, c, "meta.json")) as f:
             metas.append(json.load(f))
-    assert max(m["global_step"] for m in metas) > first_meta["global_step"]
+    # EVERY resumed checkpoint must sit past the restored step — a silent
+    # fresh start would also eventually exceed it, but not from the first one
+    assert min(m["global_step"] for m in metas) > first_meta["global_step"]
 
     # option.ini dumped for both runs
     assert os.path.exists(os.path.join(runs2[0], "option", "option.ini"))

@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_size", type=int, default=64)
     p.add_argument("--data_subset", type=str2bool, default=False)
     p.add_argument("--data_subset_num", type=int, default=1000)
+    # single-class filter for mnist/cifar10 (utils/datasetutils.py:223-243)
+    p.add_argument("--data_subset_label", type=int, default=None)
     p.add_argument("--date", type=str, default="")
     p.add_argument("--time", type=str, default="")
     p.add_argument("--wandb_name", type=str, default="diffusion")
@@ -175,6 +177,7 @@ def main(argv=None) -> int:
     dataset = get_dataset(
         cfg.dir_dataset, cfg.data_name, cfg.data_size, cfg.data_set,
         cfg.data_subset, cfg.data_subset_num, seed=cfg.seed,
+        label_filter=cfg.data_subset_label,
     )
     if cfg.sample_latent_shape.lower() == "data":
         dataset_hist = compute_mean_histogram(dataset.data, cfg.sample_num, cfg.mean_area)

@@ -29,6 +29,7 @@ class Config:
     data_size: int = 64
     data_subset: bool = False
     data_subset_num: int = 1000
+    data_subset_label: Optional[int] = None  # single-class filter (mnist/cifar10)
     date: str = ""
     time: str = ""
     wandb_name: str = "diffusion"

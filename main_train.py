@@ -66,6 +66,9 @@ def main(argv=None) -> int:
         args.dir_dataset, args.data_name, args.data_size, args.data_set,
         data_subset=args.data_subset_use, num_data=args.data_subset_num,
         seed=args.seed,
+        # the legacy path trains on a single digit class when subsetting
+        # (main_train.py's data_subset_label semantics)
+        label_filter=args.data_subset_label if args.data_subset_use else None,
     )
     channels = dataset.shape[-1]
     steps_per_epoch = max(1, dataset.num_batches(args.batch_size))

@@ -69,3 +69,18 @@ def test_cli_invalid_schedule_coupling(tmp_path):
     # (SURVEY.md §0); the CLI must fail fast with the named error
     with pytest.raises(ValueError, match="indexing"):
         main(_args(tmp_path, "badsched", ("--ddpm_schedule", "linear")))
+
+
+def test_legacy_gan_cli(tmp_path):
+    """Legacy GAN entry point runs end-to-end (the reference's main_train.py
+    is broken as checked in; ours trains)."""
+    import main_train
+
+    rc = main_train.main([
+        "--data_name", "synthetic", "--data_size", "32",
+        "--data_subset_use", "False", "--data_subset_num", "32",
+        "--batch_size", "8", "--dim_feature", "4", "--dim_latent", "8",
+        "--epoch_length", "1", "--save_every", "1",
+        "--dir_work", str(tmp_path), "--content", "gan",
+    ])
+    assert rc == 0

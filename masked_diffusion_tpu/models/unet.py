@@ -314,16 +314,22 @@ class UNet2D(nn.Module):
             pallas_norm=pallas_norm, **dtype_kw,
         )
         res_kw = dict(dropout=cfg.dropout, **block_kw)
-        maybe_remat = (lambda f: jax.checkpoint(f)) if cfg.remat else (lambda f: f)
+        # rematerialization via flax's LIFTED transform: jax.checkpoint around
+        # a bound module call leaks tracers at init (param creation is a side
+        # effect inside the checkpointed region); nn.remat threads the param
+        # store through the transform. argnums count self, so `deterministic`
+        # (self, x, temb, deterministic) is static argnum 3.
+        ResBlock = (
+            nn.remat(ResnetBlock, static_argnums=(3,)) if cfg.remat else ResnetBlock
+        )
 
         # ---- down path
         skips = [h]
         for level in range(n_levels):
             for layer in range(cfg.layers_per_block):
-                blk = ResnetBlock(ch[level], name=f"down_{level}_res_{layer}", **res_kw)
-                h = maybe_remat(
-                    lambda hh, tt, _blk=blk: _blk(hh, tt, deterministic)
-                )(h, temb)
+                h = ResBlock(ch[level], name=f"down_{level}_res_{layer}", **res_kw)(
+                    h, temb, deterministic
+                )
                 if cfg.attn_down[level]:
                     h = AttentionBlock(
                         head_dim=cfg.attention_head_dim,
@@ -350,10 +356,9 @@ class UNet2D(nn.Module):
             for layer in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
-                blk = ResnetBlock(rev_ch[i], name=f"up_{i}_res_{layer}", **res_kw)
-                h = maybe_remat(
-                    lambda hh, tt, _blk=blk: _blk(hh, tt, deterministic)
-                )(h, temb)
+                h = ResBlock(rev_ch[i], name=f"up_{i}_res_{layer}", **res_kw)(
+                    h, temb, deterministic
+                )
                 if cfg.attn_up[i]:
                     h = AttentionBlock(
                         head_dim=cfg.attention_head_dim,

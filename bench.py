@@ -48,11 +48,17 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", 64))
     steps = int(os.environ.get("BENCH_STEPS", 1000))
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
+    # BENCH_SCHEDULE/BENCH_SELECT expose the reference-DEFAULT sampling mode
+    # (indexing + log, main_train_masked.py:395) alongside the headline
+    # thresholding+linear config; log/sigmoid dedup their tables, so the
+    # actual step count is reported in extra.actual_steps
+    sched_name = os.environ.get("BENCH_SCHEDULE", "linear")
+    select = os.environ.get("BENCH_SELECT", "thresholding")
 
     cfg = Config(
         method="mean_shift", data_size=data_size,
-        ddpm_schedule="linear", ddpm_num_steps=steps,
-        select_degrade_pixel="thresholding", degrade_channel="1-channel",
+        ddpm_schedule=sched_name, ddpm_num_steps=steps,
+        select_degrade_pixel=select, degrade_channel="1-channel",
         mean_option="degraded_area", mean_area="image-wise",
         shift_type="1-d_constant", momentum_adaptive="base_momentum",
         sampling_mask_dependency="independent", mixed_precision="bf16",
@@ -62,7 +68,9 @@ def main() -> int:
         cfg.ddpm_schedule, cfg.ddpm_num_steps, data_size, cfg.select_degrade_pixel
     )
     used = schedule.timesteps_for_epoch(0, 10, scale=1)
-    assert len(used) == steps
+    if sched_name == "linear":
+        assert len(used) == steps
+    steps = len(used)
 
     model = build_unet(
         dim_channel=3, dim_height=data_size, dim_width=data_size,
@@ -136,6 +144,9 @@ def main() -> int:
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
         "extra": {
+            "schedule": sched_name,
+            "select_degrade_pixel": select,
+            "actual_steps": steps,
             "sample_loop_sec": round(sample_time, 3),
             "compile_plus_first_sec": round(compile_plus_first, 1),
             "train_steps_per_sec": round(train_steps_per_sec, 3),

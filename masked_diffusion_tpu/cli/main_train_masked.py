@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", type=str2bool, default=False)
     p.add_argument("--capture_trajectory", type=str2bool, default=False)
     p.add_argument(
+        "--interpolation_shift", type=float, default=None,
+        help="enable interpolation sampling on the save cadence "
+        "(Sampler.sample's third argument, sampler.py:102-106,264-366)",
+    )
+    p.add_argument(
         "--block_out_channels", type=str, default=None,
         help="comma-separated UNet level widths, e.g. 64,64,128 (default: "
         "the reference's 128,128,256,256,512,512)",
@@ -159,25 +164,36 @@ def main(argv=None) -> int:
     from masked_diffusion_tpu.data.datasets import get_dataset
     from masked_diffusion_tpu.data.histogram import compute_mean_histogram, empty_histogram
     from masked_diffusion_tpu.parallel.mesh import make_mesh
+    from masked_diffusion_tpu.utils import host
     from masked_diffusion_tpu.utils.dirs import Dir
     from masked_diffusion_tpu.utils.visualizer import Visualizer
 
     cfg = config_from_args(args)
 
+    # multi-host write discipline (utils/host.py; the reference's
+    # is_main_process gates, trainer_masked_mean_shift.py:242): one agreed
+    # timestamp, dirs + option.ini + visualizer only on process 0
+    main_process = host.is_main_process()
+    if host.process_count() > 1 and not (cfg.date and cfg.time):
+        cfg.date, cfg.time = host.synced_timestamp()
     dirs = Dir(
         task=cfg.task, content=cfg.content, dir_work=cfg.dir_work,
         dir_dataset=cfg.dir_dataset, data_name=cfg.data_name, data_set=cfg.data_set,
         data_size=cfg.data_size, date=cfg.date, time=cfg.time,
-        method=cfg.method, title=cfg.title,
+        method=cfg.method, title=cfg.title, make_dirs=main_process,
     )
     np.random.seed(cfg.seed)  # host-side seeding (main_train_masked.py:441-445)
-    cfg.save_option(dirs.list_dir["option"])
+    if main_process:
+        cfg.save_option(dirs.list_dir["option"])
 
     # ---- data (+ mean histogram, main_train_masked.py:46-89)
     dataset = get_dataset(
         cfg.dir_dataset, cfg.data_name, cfg.data_size, cfg.data_set,
         cfg.data_subset, cfg.data_subset_num, seed=cfg.seed,
-        label_filter=cfg.data_subset_label,
+        # label filter is gated on data_subset, matching the reference's
+        # mnist class filter (datasetutils.py:223-243) and the legacy GAN
+        # entry point's data_subset_use gating — one convention everywhere
+        label_filter=cfg.data_subset_label if cfg.data_subset else None,
     )
     if cfg.sample_latent_shape.lower() == "data":
         dataset_hist = compute_mean_histogram(dataset.data, cfg.sample_num, cfg.mean_area)
@@ -185,8 +201,10 @@ def main(argv=None) -> int:
         dataset_hist = empty_histogram()
 
     mesh_plan = make_mesh(cfg.mesh_data, cfg.mesh_model)
-    # always-on JSONL metrics sink (log/metrics.jsonl); wandb only if enabled
-    visualizer = Visualizer(cfg, dirs.list_dir["log"])
+    # always-on JSONL metrics sink (log/metrics.jsonl); wandb only if enabled;
+    # instantiated main-process-only like the reference
+    # (main_train_masked.py:313-319)
+    visualizer = Visualizer(cfg, dirs.list_dir["log"]) if main_process else None
 
     print(
         f"***** Running {cfg.method} *****\n"
@@ -200,7 +218,7 @@ def main(argv=None) -> int:
 
     method = cfg.method.lower()
     if method in ("base", "mean_shift"):
-        from masked_diffusion_tpu.io.checkpoint import find_resume_checkpoint, load_checkpoint
+        from masked_diffusion_tpu.io.checkpoint import find_resume_checkpoint
         from masked_diffusion_tpu.train.trainer import Trainer
 
         trainer = Trainer(cfg, dataset, dataset_hist, mesh_plan, visualizer)
@@ -210,16 +228,9 @@ def main(argv=None) -> int:
                 cfg.output_dir or dirs.list_dir["checkpoint"], cfg.resume_from_checkpoint
             )
             if path is not None:
-                params, ema, opt_state, meta = load_checkpoint(
-                    path, trainer.state.params, trainer.state.ema_params,
-                    trainer.state.opt_state,
-                )
-                trainer.state = trainer.state.replace(
-                    params=params,
-                    ema_params=ema if ema is not None else trainer.state.ema_params,
-                    opt_state=opt_state if opt_state is not None else trainer.state.opt_state,
-                )
-                global_step = int(meta.get("global_step", 0))
+                # full-state resume: params/EMA/optimizer, the micro-step
+                # counter (EMA decay warmup + reported lr), loss/lr history
+                global_step = trainer.restore(path)
                 steps_per_epoch = max(1, dataset.num_batches(cfg.batch_size))
                 first_epoch = global_step // steps_per_epoch
                 resume_step = global_step % steps_per_epoch

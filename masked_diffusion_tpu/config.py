@@ -95,6 +95,10 @@ class Config:
     mesh_data: int = -1  # -1: all local devices on the data axis
     mesh_model: int = 1  # reserved tensor-parallel axis
     capture_trajectory: bool = False  # sampler keeps per-step buffers (HBM-heavy)
+    # route to the interpolation sampler (Sampler.sample's 3rd arg,
+    # sampler.py:102-106,264-366 — dead in the reference, live here): when
+    # set, the save cadence also renders an interpolation sweep grid
+    interpolation_shift: Optional[float] = None
     block_out_channels: Optional[tuple] = None  # override UNet widths (tests/bench)
     layers_per_block: int = 2
     profile_dir: Optional[str] = None  # jax.profiler trace output

@@ -16,6 +16,7 @@ import re
 from typing import Any, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"checkpoint-(?:epoch-)?(\d+)$")
@@ -33,9 +34,21 @@ def save_checkpoint(
     ema_params: Optional[Any] = None,
     opt_state: Optional[Any] = None,
     extra_meta: Optional[dict] = None,
+    history: Optional[dict] = None,
 ) -> str:
-    """Write checkpoint-epoch-{epoch}/ under checkpoint_dir."""
+    """Write checkpoint-epoch-{epoch}/ under checkpoint_dir.
+
+    `history` (e.g. {'loss_mean_epoch': [...], 'lr_list': [...]}) lands in
+    history.npz so a resumed run continues its loss/lr curves instead of
+    restarting them — the analog of the lr-scheduler state accelerate's
+    load_state restores (main_train_masked.py:195-225).
+    """
+    from masked_diffusion_tpu.utils.host import is_main_process
+
     path = os.path.abspath(os.path.join(checkpoint_dir, f"checkpoint-epoch-{epoch}"))
+    # exist_ok mkdir is idempotent and safe on a shared filesystem; the orbax
+    # saves below are COLLECTIVE — every process must make these calls
+    # (orbax coordinates the per-shard writes internally)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "unet"), params, force=True)
@@ -44,11 +57,17 @@ def save_checkpoint(
     if opt_state is not None:
         ckptr.save(os.path.join(path, "optimizer"), opt_state, force=True)
     ckptr.wait_until_finished()
-    meta = {"epoch": int(epoch), "global_step": int(global_step)}
-    if extra_meta:
-        meta.update(extra_meta)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    if is_main_process():  # sidecar files: process 0 only (utils/host.py)
+        meta = {"epoch": int(epoch), "global_step": int(global_step)}
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        if history:
+            np.savez(
+                os.path.join(path, "history.npz"),
+                **{k: np.asarray(v) for k, v in history.items()},
+            )
     return path
 
 
@@ -86,6 +105,10 @@ def load_checkpoint(
         m = _CKPT_RE.search(os.path.basename(path))
         if m:
             meta = {"epoch": int(m.group(1)), "global_step": 0}
+    hist_path = os.path.join(path, "history.npz")
+    if os.path.exists(hist_path):
+        with np.load(hist_path) as h:
+            meta["history"] = {k: h[k].tolist() for k in h.files}
     return params, ema, opt_state, meta
 
 

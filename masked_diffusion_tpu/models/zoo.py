@@ -74,7 +74,13 @@ def _zoo_config(
     elif name == "unet4":
         base, mults = 128, (1, 2, 4, 8)
         channels = tuple(base * m for m in mults)
-        attn = _attn_at_resolutions(size, len(mults), (16, 8))
+        # upstream-caller quirk preserved: models_Unet.py:72 passes
+        # attention_resolutions=(16,8) straight into unet4.py's UNetModel,
+        # where the membership test is `ds in attention_resolutions` with ds
+        # the DOWNSAMPLE RATE 1,2,4,8 (unet4.py:860,875,910) — so the
+        # reference attends only where 2**level in (16,8), i.e. the deepest
+        # level (ds=8); 16 never matches. NOT feature resolutions.
+        attn = tuple(2**i in (16, 8) for i in range(len(mults)))
     elif name == "unet5":
         base, mults = 32, (1, 2, 4, 8, 8)
         channels = tuple(base * m for m in mults)

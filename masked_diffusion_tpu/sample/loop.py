@@ -48,6 +48,7 @@ def make_sample_fn(
     cfg: Config,
     used_timesteps: np.ndarray,
     capture_trajectory: bool = False,
+    capture_items: int = 0,
     compute_dtype=None,
 ) -> Callable:
     """Build sample(params, latent, key) -> sample_0 [, trajectory dict].
@@ -153,12 +154,25 @@ def make_sample_fn(
 
             new_carry = (new_sample_t, sample_0, mask_next, momentum, key)
             if capture_trajectory:
+                # capture_items > 0 slices the stacked ys to the first k
+                # items INSIDE the scan: the reference keeps 11 full
+                # (T+1, N, C, H, W) host buffers (sampler.py:116-126), which
+                # at T=1000 x N=100 x 64^2 would be tens of GB of HBM — only
+                # a handful of items are ever rendered
+                k = capture_items if capture_items > 0 else b
+
+                def cap(x):
+                    return jnp.broadcast_to(x, sample_t.shape)[:k]
+
                 ys = {
-                    "sample_t": sample_t, "shift": shift, "shifted": shifted_sample_t,
-                    "mask": out, "shifted_result": shifted_sample_0,
-                    "sample_0": sample_0, "degrade_mask_t": mask_t,
-                    "degrade_mask_next_t": mask_next, "degraded_t": degraded_t,
-                    "difference": difference, "degraded_next_t": degraded_next,
+                    "sample_t": cap(sample_t), "shift": cap(shift),
+                    "shifted": cap(shifted_sample_t),
+                    "mask": cap(out), "shifted_result": cap(shifted_sample_0),
+                    "sample_0": cap(sample_0), "degrade_mask_t": cap(mask_t),
+                    "degrade_mask_next_t": cap(mask_next),
+                    "degraded_t": cap(degraded_t),
+                    "difference": cap(difference),
+                    "degraded_next_t": cap(degraded_next),
                 }
             else:
                 ys = None

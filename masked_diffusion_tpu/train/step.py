@@ -182,3 +182,68 @@ def make_train_step(
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_train_visuals_fn(
+    model,
+    schedule: MaskSchedule,
+    cfg: Config,
+    used_timesteps: np.ndarray,
+) -> Callable:
+    """Jitted forward-only pass returning the reference's train-time visual
+    tensors (train_visual_names, trainer_masked.py:58,
+    trainer_masked_mean_shift.py:58: input / degraded_img /
+    degrade_binary_masks / degradation_mask / mean_pixel / mask /
+    reconstructed_img, plus shift / shifted_degrade_img /
+    inverse_shift_reconstructed_img on the mean-shift path). Run once on the
+    save cadence against the last batch — never inside the hot loop."""
+    used_dev = jnp.asarray(used_timesteps, dtype=jnp.int32)
+    n_used = int(len(used_timesteps))
+    mean_shift = cfg.method == "mean_shift"
+    compute_dtype = jnp.bfloat16 if cfg.weight_dtype == "bfloat16" else jnp.float32
+
+    def visuals_fn(params, batch: Array, key: Array):
+        img = batch.astype(jnp.float32)
+        b = img.shape[0]
+        k_time, k_mask, k_shift = jax.random.split(key, 3)
+        timeindex = jax.random.randint(k_time, (b,), 0, n_used)
+        timesteps = jnp.take(used_dev, timeindex)
+
+        amount = schedule.degrade_amount(timesteps)
+        degraded, binary_masks, degradation_mask, mean_mask = degrade_ops.degrade_training(
+            k_mask, img, amount,
+            cfg.select_degrade_pixel, cfg.degrade_channel,
+            cfg.mean_option, cfg.mean_area,
+        )
+        if mean_shift:
+            shift = shift_ops.schedule_shift(
+                k_shift, schedule.shift_ratio(timesteps), img.shape,
+                cfg.shift_type, cfg.noise_mean, dtype=jnp.float32,
+            )
+            net_in = degraded + shift
+        else:
+            shift = None
+            net_in = degraded
+
+        out = model.apply(
+            params, net_in.astype(compute_dtype), timesteps.astype(jnp.float32),
+            deterministic=True,
+        ).astype(jnp.float32)
+        recon = net_in + out
+
+        visuals = {
+            "input": img,
+            "degraded_img": degraded,
+            "degrade_binary_masks": binary_masks,
+            "degradation_mask": degradation_mask,
+            "mean_pixel": mean_mask,
+            "mask": out,  # the reference names the network output 'mask'
+            "reconstructed_img": recon,
+        }
+        if mean_shift:
+            visuals["shift"] = jnp.broadcast_to(shift, img.shape)
+            visuals["shifted_degrade_img"] = net_in
+            visuals["inverse_shift_reconstructed_img"] = recon - shift
+        return visuals
+
+    return jax.jit(visuals_fn)

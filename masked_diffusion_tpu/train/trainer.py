@@ -32,7 +32,13 @@ from masked_diffusion_tpu.ops.schedule import MaskSchedule, build_schedule
 from masked_diffusion_tpu.parallel.mesh import MeshPlan
 from masked_diffusion_tpu.sample import latent_initial, make_sample_fn
 from masked_diffusion_tpu.train.optim import build_lr_schedule, build_optimizer
-from masked_diffusion_tpu.train.step import TrainState, create_train_state, make_train_step
+from masked_diffusion_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_train_visuals_fn,
+)
+from masked_diffusion_tpu.utils import host
 from masked_diffusion_tpu.utils.grids import save_image_grid
 from masked_diffusion_tpu.utils.profiling import trace
 from masked_diffusion_tpu.io.checkpoint import save_checkpoint
@@ -109,11 +115,43 @@ class Trainer:
 
         self._step_cache: Dict[tuple, callable] = {}
         self._sample_cache: Dict[tuple, callable] = {}
+        self._visuals_cache: Dict[tuple, callable] = {}
+        self._interp_cache: Dict[tuple, callable] = {}
+        self._last_batch: Optional[np.ndarray] = None
         self.lr_list: List[float] = []
         self.loss_mean_epoch: List[float] = []
         self.global_step = 0
         self.timesteps_used_epoch = None
         self.n_params = count_params(self.state.params)
+
+    # ------------------------------------------------------------------ resume
+    def restore(self, path: str) -> int:
+        """Full-state resume: params, EMA, optimizer state, the micro-step
+        counter (which drives the EMA decay warmup and the reported lr), and
+        the loss/lr history for curve continuity. The analog of
+        accelerator.load_state's complete round-trip
+        (main_train_masked.py:195-225,250-277 — EMA optimization_step +
+        lr-scheduler state included). Returns the restored global step."""
+        from masked_diffusion_tpu.io.checkpoint import load_checkpoint
+
+        params, ema, opt_state, meta = load_checkpoint(
+            path, self.state.params, self.state.ema_params, self.state.opt_state
+        )
+        global_step = int(meta.get("global_step", 0))
+        step = jnp.asarray(global_step, jnp.int32)
+        if self.mesh_plan is not None:
+            step = jax.device_put(step, self.mesh_plan.replicated)
+        self.state = self.state.replace(
+            step=step,
+            params=params,
+            ema_params=ema if ema is not None else self.state.ema_params,
+            opt_state=opt_state if opt_state is not None else self.state.opt_state,
+        )
+        hist = meta.get("history", {})
+        self.loss_mean_epoch = [float(v) for v in hist.get("loss_mean_epoch", [])]
+        self.lr_list = [float(v) for v in hist.get("lr_list", [])]
+        self.global_step = global_step
+        return global_step
 
     # ------------------------------------------------------------------ steps
     def _get_step_fn(self, used: np.ndarray):
@@ -124,14 +162,27 @@ class Trainer:
             )
         return self._step_cache[key]
 
-    def _get_sample_fn(self, used: np.ndarray):
-        key = tuple(int(t) for t in used)
+    def _get_sample_fn(self, used: np.ndarray, capture: Optional[bool] = None):
+        if capture is None:
+            capture = self.cfg.capture_trajectory
+        key = (tuple(int(t) for t in used), bool(capture))
         if key not in self._sample_cache:
             self._sample_cache[key] = make_sample_fn(
                 self.model, self.schedule, self.cfg, used,
-                capture_trajectory=self.cfg.capture_trajectory,
+                capture_trajectory=capture,
+                # only _save_trajectory_grids' n_items are ever rendered; the
+                # in-scan slice keeps trajectory HBM bounded at flagship T
+                capture_items=4 if capture else 0,
             )
         return self._sample_cache[key]
+
+    def _get_visuals_fn(self, used: np.ndarray):
+        key = tuple(int(t) for t in used)
+        if key not in self._visuals_cache:
+            self._visuals_cache[key] = make_train_visuals_fn(
+                self.model, self.schedule, self.cfg, used
+            )
+        return self._visuals_cache[key]
 
     def _put_batch(self, batch: np.ndarray):
         if self.mesh_plan is not None:
@@ -154,8 +205,12 @@ class Trainer:
         epoch_length = epoch_length or cfg.num_epochs
         visualizer = visualizer or self.visualizer
         self.global_step = global_step
-        rng = np.random.default_rng(cfg.seed + epoch_start)
-        data_key = jax.random.PRNGKey(cfg.seed + 1)
+        # rng streams are derived per-epoch from (seed, epoch), not carried
+        # sequentially: a resumed run at an epoch boundary then replays the
+        # exact shuffles and step keys of the uninterrupted run, which is what
+        # makes checkpoint->resume bitwise-reproducible (the reference only
+        # gets cold resume, accelerator.load_state main_train_masked.py:250-277)
+        root_key = jax.random.PRNGKey(cfg.seed + 1)
 
         # profile the first post-warmup epoch: epoch 0 pays the compile, so
         # its trace is all XLA compilation; trace epoch_start+1 instead
@@ -164,6 +219,8 @@ class Trainer:
         last_metrics = {}
         for epoch in range(epoch_start, epoch_start + epoch_length):
             t_start = time.perf_counter()
+            rng = np.random.default_rng([cfg.seed, epoch])
+            data_key = jax.random.fold_in(root_key, epoch)
             used = self.schedule.timesteps_for_epoch(
                 epoch, epoch_length, cfg.scheduler_num_scale_timesteps
             )
@@ -179,6 +236,7 @@ class Trainer:
                     )
                     losses.append(metrics)
                     self.global_step += 1
+                    self._last_batch = batch
 
             # host sync once per epoch
             losses = [{k: float(v) for k, v in m.items()} for m in losses]
@@ -217,13 +275,36 @@ class Trainer:
                 )
 
             if self._on_save_cadence(epoch, epoch_start, epoch_length):
-                if dirs is not None:
+                # artifact writes are main-process-only (utils/host.py
+                # policy == trainer_masked_mean_shift.py:242); orbax array
+                # saves inside save_checkpoint stay collective
+                if dirs is not None and host.is_main_process():
                     self._save_learning_curve(dirs)
+                    self._save_train_visuals(dirs, epoch, used, data_key, visualizer)
                     if cfg.use_ema:
-                        self._save_ema_momentum_sample(dirs, epoch, visualizer)
+                        # --sampling dispatch (trainer_masked_mean_shift.py:
+                        # 254-260): 'base' additionally captures and renders
+                        # the per-step trajectory (the reference's base arm is
+                        # broken by a stale 7-value unpack of Sampler.sample's
+                        # 2 returns, :381 — this rebuilds the INTENDED
+                        # behavior: trajectory grids + trajectory means)
+                        if cfg.sampling == "base":
+                            self._save_ema_sample(dirs, epoch, visualizer)
+                        else:
+                            self._save_ema_momentum_sample(dirs, epoch, visualizer)
+                        if cfg.interpolation_shift is not None:
+                            self._save_interpolation_sample(dirs, epoch, visualizer)
+                if dirs is not None:
+                    # collective on purpose: every process calls the orbax
+                    # save (it coordinates per-shard writes); the meta/history
+                    # sidecars inside are process-0-gated
                     save_checkpoint(
                         dirs.list_dir["checkpoint"], epoch, self.global_step,
                         self.state.params, self.state.ema_params, self.state.opt_state,
+                        history={
+                            "loss_mean_epoch": self.loss_mean_epoch,
+                            "lr_list": self.lr_list,
+                        },
                     )
 
         return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
@@ -264,7 +345,49 @@ class Trainer:
         plt.savefig(path, bbox_inches="tight", dpi=100)
         plt.close(fig)
 
-    def sample_ema(self, key, sample_num: Optional[int] = None):
+    # tensor name -> run-directory key (utils/dirs.py == dirutils.py:77-101).
+    # 'noisy_img' is the degraded image (scheduler.py:260 names its output
+    # noisy_img); 'noise_img' holds the network's predicted residual (the
+    # reference calls it 'mask', trainer_masked_mean_shift.py:140).
+    _VISUAL_DIRS = {
+        "input": "train_img",
+        "degraded_img": "noisy_img",
+        "degrade_binary_masks": "mask_img",
+        "degradation_mask": "mask_img",
+        "mean_pixel": "img",
+        "mask": "noise_img",
+        "reconstructed_img": "predict_img",
+        "inverse_shift_reconstructed_img": "predict_img",
+        "shift": "shift_img",
+        "shifted_degrade_img": "shift_noisy",
+    }
+
+    def _save_train_visuals(self, dirs, epoch: int, used, key, visualizer=None) -> None:
+        """Render the last batch's train-time tensors as global+local grids
+        into the run tree and the visualizer — the reference's
+        get_current_visuals/display_current_results path
+        (trainer_masked.py:58-80,300-342, trainer_masked_mean_shift.py:264).
+        One forward-only jitted call per save cadence; never in the hot loop."""
+        if self._last_batch is None:
+            return
+        visuals_fn = self._get_visuals_fn(used)
+        out = visuals_fn(self.state.params, self._put_batch(self._last_batch), key)
+        display = {}
+        for name, tensor in out.items():
+            d = dirs.list_dir.get(self._VISUAL_DIRS.get(name, "img"))
+            if d is None or not os.path.isdir(d):
+                continue
+            arr = np.asarray(tensor)
+            g_global = save_image_grid(arr, "global", d, f"{name}_{epoch:05d}_global.png")
+            g_local = save_image_grid(arr, "image", d, f"{name}_{epoch:05d}_local.png")
+            display[f"{name}_normalize_global"] = g_global
+            display[f"{name}_normalize_local"] = g_local
+        if visualizer is not None and display:
+            visualizer.display_current_results(epoch, display)
+
+    def sample_ema(
+        self, key, sample_num: Optional[int] = None, capture: Optional[bool] = None
+    ):
         """Sample with EMA params (no parameter swapping needed)."""
         cfg = self.cfg
         used = self.timesteps_used_epoch
@@ -272,7 +395,7 @@ class Trainer:
             used = self.schedule.timesteps_for_epoch(
                 0, cfg.num_epochs, cfg.scheduler_num_scale_timesteps
             )
-        sample_fn = self._get_sample_fn(used)
+        sample_fn = self._get_sample_fn(used, capture)
         k_lat, k_samp = jax.random.split(key)
         latent = latent_initial(
             k_lat, sample_num or cfg.sample_num, cfg.out_channel, cfg.data_size,
@@ -309,23 +432,90 @@ class Trainer:
             )
 
     def _save_trajectory_grids(self, dirs, epoch: int, trajectory: dict) -> None:
-        """One per-item grid over timesteps for the carried sample state
-        (scan ys are (T, N, H, W, C); transpose to (N, T, ...) for the
-        multi-index grid, sampler.py:390-417)."""
+        """One per-item grid over timesteps for EVERY captured field — the
+        reference's visual_list covers all 11 buffers (sampler.py:116-126,
+        390-417); the ys are already paid for in HBM so render them all.
+        Scan ys are (T, N, H, W, C); transpose to (N, T, ...) for the
+        multi-index grid."""
         from masked_diffusion_tpu.utils.grids import save_multi_index_image_grid, save_png
 
         d = dirs.list_dir["sample_all_t"]
         n_items = 4
-        for key in ("sample_t", "sample_0"):
-            if key not in trajectory:
-                continue
+        for key, buf in trajectory.items():
             # slice items on-device BEFORE transfer: the full trajectory is
             # (T, N, H, W, C) — ~3GB at the flagship config — and only
             # n_items are rendered
-            traj = np.asarray(trajectory[key][:, :n_items]).transpose(1, 0, 2, 3, 4)
+            traj = np.asarray(buf[:, :n_items]).transpose(1, 0, 2, 3, 4)
             grids = save_multi_index_image_grid(traj, normalization="image")
             for i, g in enumerate(grids):
                 save_png(
                     np.clip(g, 0.0, 1.0),
                     os.path.join(d, f"{key}_{epoch:05d}_item{i}.png"),
                 )
+
+    def _save_ema_sample(self, dirs, epoch: int, visualizer=None) -> None:
+        """--sampling base: EMA sampling WITH trajectory capture — result
+        grids plus per-step trajectory grids and trajectory means
+        (ema_sample_t_mean / ema_sample_0_mean / shift variants), rebuilding
+        the intent of _save_ema_sample (trainer_masked_mean_shift.py:374-404;
+        the reference arm crashes on a stale unpack, see module doc)."""
+        out = self.sample_ema(
+            jax.random.PRNGKey(self.cfg.seed + epoch), capture=True
+        )
+        sample, trajectory = out
+        means = {
+            "ema_sample_mean": float(jnp.mean(sample)),
+            "ema_sample_t_mean": float(jnp.mean(trajectory["sample_t"])),
+            "ema_sample_0_mean": float(jnp.mean(trajectory["sample_0"])),
+            "ema_sample_shift_t_mean": float(jnp.mean(trajectory["shifted"])),
+            "ema_sample_0_shift_mean": float(jnp.mean(trajectory["shifted_result"])),
+        }
+        self._save_trajectory_grids(dirs, epoch, trajectory)
+        sample = np.asarray(sample)
+        d = dirs.list_dir["ema_sample_img"]
+        g_global = save_image_grid(
+            sample, "global", d, f"ema_sample_{epoch:05d}_global.png"
+        )
+        g_local = save_image_grid(
+            sample, "image", d, f"ema_sample_{epoch:05d}_local.png"
+        )
+        if visualizer is not None:
+            visualizer.plot_current_losses(epoch, means, "value")
+            visualizer.display_current_results(
+                epoch,
+                {
+                    "ema_sample_result_normalize_global": g_global,
+                    "ema_sample_result_normalize_local": g_local,
+                },
+            )
+
+    def _save_interpolation_sample(self, dirs, epoch: int, visualizer=None) -> None:
+        """--interpolation_shift route to the interpolation sampler
+        (Sampler.sample's third argument, sampler.py:102-106,264-366 — dead
+        code in the reference, reachable here)."""
+        from masked_diffusion_tpu.sample.interpolation import make_interpolation_sample_fn
+
+        cfg = self.cfg
+        used = self.timesteps_used_epoch
+        if used is None:
+            used = self.schedule.timesteps_for_epoch(
+                0, cfg.num_epochs, cfg.scheduler_num_scale_timesteps
+            )
+        key = (tuple(int(t) for t in used), float(cfg.interpolation_shift))
+        if key not in self._interp_cache:
+            self._interp_cache[key] = make_interpolation_sample_fn(
+                self.model, self.schedule, cfg, used, float(cfg.interpolation_shift)
+            )
+        params = self.state.ema_params if cfg.use_ema else self.state.params
+        sample, _mu = self._interp_cache[key](
+            params, jax.random.PRNGKey(cfg.seed + epoch + 1)
+        )
+        sample = np.asarray(sample)
+        d = dirs.list_dir["ema_sample_img"]
+        g = save_image_grid(
+            sample, "global", d, f"ema_interpolation_{epoch:05d}.png"
+        )
+        if visualizer is not None:
+            visualizer.display_current_results(
+                epoch, {"ema_interpolation_sample": g}
+            )

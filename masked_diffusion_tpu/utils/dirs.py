@@ -24,7 +24,12 @@ class Dir:
         time: str = "",
         method: str = "",
         title: str = "",
+        make_dirs: bool = True,
     ):
+        # make_dirs=False builds the path map without touching the
+        # filesystem — non-main processes on a pod must not mkdir their own
+        # result trees (utils/host.py write policy)
+        self.make_dirs = make_dirs
         self.task = task
         self.content = content
         self.dir_work = dir_work
@@ -85,10 +90,11 @@ class Dir:
             "shift_noisy": j(save_dir, "train", "image", "shift_noisy"),
         }
         skip_unless_shift = {"shift_img", "shift_noisy"}
-        for key, d in dir_list.items():
-            if key in skip_unless_shift and self.method not in ("shift", "mean_shift"):
-                continue
-            os.makedirs(d, exist_ok=True)
+        if self.make_dirs:
+            for key, d in dir_list.items():
+                if key in skip_unless_shift and self.method not in ("shift", "mean_shift"):
+                    continue
+                os.makedirs(d, exist_ok=True)
         return dir_list
 
     def _build_dir_sample(self):
@@ -102,5 +108,6 @@ class Dir:
             self.list_dir_sub["data_name"], self.list_dir_sub["data_set"],
             self.list_dir_sub["data_size"], self.list_dir_sub["time"],
         )
-        os.makedirs(sample, exist_ok=True)
+        if self.make_dirs:
+            os.makedirs(sample, exist_ok=True)
         return {"sample": sample, "model": model}

@@ -70,6 +70,70 @@ class TestResumeScan:
         assert find_resume_checkpoint(str(tmp_path / "nope"), "latest") is None
 
 
+class TestTrainerResumeEquivalence:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """Full-state resume (VERDICT r1 #2): a train -> checkpoint -> fresh
+        Trainer -> restore -> train run yields BITWISE-identical params and
+        EMA params to an uninterrupted run, and continues the loss/lr history.
+        Matches accelerate.load_state's complete round-trip
+        (main_train_masked.py:195-225,250-277)."""
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.data.datasets import get_dataset
+        from masked_diffusion_tpu.io.checkpoint import find_resume_checkpoint
+        from masked_diffusion_tpu.train.trainer import Trainer
+        from masked_diffusion_tpu.utils.dirs import Dir
+
+        size = 8
+        cfg = Config(
+            method="mean_shift", data_name="synthetic", data_size=size,
+            data_subset=True, data_subset_num=16, batch_size=8, num_epochs=4,
+            ddpm_schedule="log", ddpm_num_steps=6,
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+            shift_type="1-d_constant", use_ema=True, lr=1e-3,
+            lr_scheduler="constant", lr_warmup_steps=0, sample_num=2,
+            sample_latent_shape="zero", save_images_epochs=100,
+            use_wandb=False, block_out_channels=(8, 16), layers_per_block=1,
+        )
+        dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=16)
+
+        def dirs_for(sub):
+            return Dir(task="train", content=sub, dir_work=str(tmp_path / sub),
+                       data_name="synthetic", data_size=size, method=cfg.method)
+
+        t_full = Trainer(cfg, dataset)
+        t_full.train(0, 4, dirs=dirs_for("full"))
+
+        t_half = Trainer(cfg, dataset)
+        dirs_half = dirs_for("half")
+        t_half.train(0, 2, dirs=dirs_half)
+
+        path = find_resume_checkpoint(dirs_half.list_dir["checkpoint"], "latest")
+        assert path is not None
+        t_resumed = Trainer(cfg, dataset)
+        gs = t_resumed.restore(path)
+        assert gs == t_half.global_step
+        assert int(t_resumed.state.step) == gs
+        # history continuity (loss/lr curves resume, not restart)
+        assert t_resumed.loss_mean_epoch == pytest.approx(t_half.loss_mean_epoch)
+        t_resumed.train(2, 2, global_step=gs, dirs=dirs_for("resumed"))
+
+        assert len(t_resumed.loss_mean_epoch) == 4
+        for a, b in zip(
+            jax.tree.leaves(t_full.state.params), jax.tree.leaves(t_resumed.state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(t_full.state.ema_params),
+            jax.tree.leaves(t_resumed.state.ema_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the loss trajectory itself matches the uninterrupted run
+        np.testing.assert_allclose(
+            t_resumed.loss_mean_epoch, t_full.loss_mean_epoch, rtol=0, atol=0
+        )
+
+
 class TestResumeTraining:
     def test_resume_continues_bitwise(self, tmp_path):
         """checkpoint -> restore -> one more step == uninterrupted two steps."""

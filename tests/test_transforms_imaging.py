@@ -147,10 +147,14 @@ def test_nearest_neighbor_flip_augment():
 
     rng = np.random.default_rng(0)
     dataset = rng.uniform(-1, 1, (5, 16, 16, 3)).astype(np.float32)
-    # query = horizontal flip of dataset[2]: only reachable via flip augment
+    # query = horizontal flip of dataset[2]: only matchable via flip augment
     query = dataset[2:3, :, ::-1, :].copy()
     nn_flip = get_nearest_neighbor(query, dataset, compare_size=16, flip_augment=True)
-    np.testing.assert_allclose(nn_flip[0], query[0], atol=1e-5)
+    # the flip copy raises the score, but the ORIGINAL training image is
+    # returned (sampler.py:487-518 returns self.dataset[max_idx][0]) — never
+    # the mirrored tensor
+    np.testing.assert_allclose(nn_flip[0], dataset[2], atol=1e-5)
+    assert not np.allclose(nn_flip[0], query[0])
     nn_noflip = get_nearest_neighbor(query, dataset, compare_size=16, flip_augment=False)
     assert not np.allclose(nn_noflip[0], query[0])
 

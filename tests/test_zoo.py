@@ -42,7 +42,18 @@ def test_unet6_per_resolution_tables():
 
 def test_attention_resolution_conversion():
     # image 64, 4 levels -> resolutions 64,32,16,8; attend at {16,8}
+    # (unet5's now_res semantics, unet5.py:43-48)
     assert _attn_at_resolutions(64, 4, (16, 8)) == (False, False, True, True)
+
+
+@pytest.mark.parametrize("size", [32, 64, 128])
+def test_unet4_attends_deepest_only(size):
+    """models_Unet.py:72 passes (16,8) into unet4.py where `ds` is the
+    DOWNSAMPLE RATE (unet4.py:860,875,910): only ds=8 (the deepest of 4
+    levels) ever matches, at every image size — NOT feature resolutions."""
+    m = Model("unet4", 3, size, size)
+    assert m.config.attn_down == (False, False, False, True)
+    assert m.config.attn_up == (True, False, False, False)
 
 
 def test_unknown_name_raises():

@@ -78,15 +78,20 @@ def main():
     from masked_diffusion_tpu.sample import make_sample_fn
 
     batch, size, steps = 64, 64, 8
+    # PROF_SELECT=indexing PROF_SCHEDULE=log profiles the reference-default
+    # degrade mode (integer-count masks, main_train_masked.py:395)
+    select = os.environ.get("PROF_SELECT", "thresholding")
+    sched_name = os.environ.get("PROF_SCHEDULE", "linear")
     cfg = Config(
-        method="mean_shift", data_size=size, ddpm_schedule="linear",
-        ddpm_num_steps=steps, select_degrade_pixel="thresholding",
+        method="mean_shift", data_size=size, ddpm_schedule=sched_name,
+        ddpm_num_steps=steps, select_degrade_pixel=select,
         degrade_channel="1-channel", mean_option="degraded_area",
         mean_area="image-wise", shift_type="1-d_constant",
         momentum_adaptive="base_momentum", sampling_mask_dependency="independent",
         mixed_precision="bf16",
     )
-    schedule = build_schedule("linear", steps, size, "thresholding")
+    schedule = build_schedule(sched_name, steps, size, select)
+    steps = schedule.num_steps
     model = build_unet(dim_channel=3, dim_height=size, dim_width=size,
                        num_attention=1, dtype=jnp.bfloat16)
     x1 = jnp.zeros((1, size, size, 3), jnp.bfloat16)
@@ -106,9 +111,9 @@ def main():
     def degrade_pair(k, img):
         k1, k2 = jax.random.split(k)
         a, _, _ = degrade_ops.degrade_independent_base_sampling(
-            k1, img, amount, "thresholding", "1-channel", "degraded_area", "image-wise")
+            k1, img, amount, select, "1-channel", "degraded_area", "image-wise")
         b, _, _ = degrade_ops.degrade_independent_base_sampling(
-            k2, img, amount, "thresholding", "1-channel", "degraded_area", "image-wise")
+            k2, img, amount, select, "1-channel", "degraded_area", "image-wise")
         return a + b
 
     xf = x.astype(jnp.float32)
@@ -139,6 +144,8 @@ def main():
         "unet_conv_tflops_est": round(flops / 1e12, 2),
         "unet_tflops_per_s": round(flops / t_fwd / 1e12, 1),
         "mxu_util_vs_197tf": round(flops / t_fwd / 197e12, 3),
+        "select_degrade_pixel": select,
+        "schedule": sched_name,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -57,9 +57,18 @@ def exact_count_masks(key: Array, batch: int, height: int, width: int, counts: A
     """
     hw = height * width
     u = jax.random.uniform(key, (batch, hw))
-    order = jnp.argsort(u, axis=1)
-    rank = jnp.argsort(order, axis=1)  # rank[i, p] = position of pixel p in sorted order
-    keep = (rank >= counts.astype(jnp.int32)[:, None]).astype(jnp.float32)
+    counts = counts.astype(jnp.int32)
+    # one VALUE sort + per-row gathered threshold replaces the original
+    # double argsort (argsort(argsort(u)) ranks): u < (k-th smallest) selects
+    # exactly the k smallest uniforms (draws are distinct at fp32 w.p. ~1,
+    # and any tie costs at most the tie size — same as the pallas kernel's
+    # contract). Sorting VALUES once is ~2x cheaper on TPU than two
+    # index-payload sorts.
+    su = jnp.sort(u, axis=1)
+    idx = jnp.clip(counts, 0, hw - 1)[:, None]
+    thr = jnp.take_along_axis(su, idx, axis=1)  # (B, 1): (k+1)-th smallest
+    thr = jnp.where(counts[:, None] >= hw, jnp.inf, thr)
+    keep = (u >= thr).astype(jnp.float32)
     return keep.reshape(batch, height, width, 1)
 
 
@@ -102,6 +111,23 @@ def nested_threshold_masks(
     return mask_a, mask_b
 
 
+def _use_pallas_kmask() -> bool:
+    """Opt-in TPU kernel for the indexing path (MDT_PALLAS_KMASK=1).
+
+    Measured on v5e at the flagship sampling shape (batch 64, 64x64, T=4096
+    log/indexing): standalone 1.92 ms pallas vs 1.84 ms argsort (0.96x), and
+    no in-loop win inside the sampling scan — XLA overlaps the small (64,4096)
+    sorts well. Kept opt-in for larger images where sort cost grows
+    O(HW log HW) while the kernel's bit-scan stays O(32·HW)."""
+    import os
+
+    if os.environ.get("MDT_PALLAS_KMASK", "0").lower() not in ("1", "true"):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def generate_masks(
     key: Array,
     img: Array,
@@ -112,7 +138,12 @@ def generate_masks(
     """Dispatch mask generation; returns masks broadcast to img's shape."""
     b, h, w, c = img.shape
     if select_degrade_pixel == "indexing":
-        masks = exact_count_masks(key, b, h, w, amount)
+        if _use_pallas_kmask():
+            from masked_diffusion_tpu.ops.pallas.kmask import exact_count_masks_pallas
+
+            masks = exact_count_masks_pallas(key, b, h, w, amount)
+        else:
+            masks = exact_count_masks(key, b, h, w, amount)
         return jnp.broadcast_to(masks, img.shape)
     if select_degrade_pixel == "thresholding":
         per_channel = degrade_channel == "3-channel"

@@ -59,6 +59,34 @@ def test_cli_train_then_resume(tmp_path):
     assert os.path.exists(os.path.join(runs2[0], "option", "option.ini"))
 
 
+def test_cli_sampling_base_and_interpolation(tmp_path):
+    """--sampling base (trajectory-capturing EMA-sample arm,
+    trainer_masked_mean_shift.py:254-260 intent) and --interpolation_shift
+    (the interpolation sampler route, sampler.py:102-106,264-366) are both
+    reachable from the CLI and leave their artifacts."""
+    assert main(_args(
+        tmp_path, "basearm",
+        ("--method", "mean_shift", "--shift_type", "1-d_constant",
+         "--sampling", "base", "--interpolation_shift", "0.5"),
+    )) == 0
+    runs = glob.glob(str(tmp_path / "result/cli/synthetic/mean_shift/*/basearm"))
+    assert len(runs) == 1
+    # trajectory grids from the base arm (all captured fields rendered)
+    traj = os.listdir(os.path.join(runs[0], "train", "image", "sample_all_t"))
+    assert any(f.startswith("sample_t_") for f in traj)
+    assert any(f.startswith("degraded_t_") for f in traj)
+    # interpolation sweep grid next to the EMA samples
+    ema = os.listdir(os.path.join(runs[0], "train", "image", "ema_sample_img"))
+    assert any(f.startswith("ema_interpolation_") for f in ema)
+    assert any(f.startswith("ema_sample_") for f in ema)
+    # trajectory means logged by the base arm
+    with open(os.path.join(runs[0], "log", "metrics.jsonl")) as f:
+        keys = set()
+        for line in f:
+            keys |= set(json.loads(line))
+    assert {"ema_sample_t_mean", "ema_sample_0_mean"} <= keys
+
+
 def test_cli_bad_method(tmp_path):
     with pytest.raises(SystemExit):
         main(_args(tmp_path, "bad", ("--method", "bogus")))

@@ -126,6 +126,47 @@ class TestDryrunContract:
         for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    def test_sample_scan_sharded_matches_single_device(self):
+        """DP sampling invariance: the full reverse scan on an 8-way sharded
+        batch matches the same scan on one device — the BASELINE large-batch
+        sampling sweep (config 5) is the workload DP serves."""
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.ops.schedule import build_schedule
+        from masked_diffusion_tpu.sample import make_sample_fn
+
+        size, batch = 8, 8
+        cfg = Config(
+            method="mean_shift", data_size=size, ddpm_schedule="log",
+            ddpm_num_steps=6, select_degrade_pixel="indexing",
+            degrade_channel="1-channel", mean_option="degraded_area",
+            mean_area="image-wise", shift_type="1-d_constant",
+            momentum_adaptive="base_momentum",
+            sampling_mask_dependency="independent",
+        )
+        schedule = build_schedule("log", 6, size, "indexing")
+        model = build_unet(
+            dim_channel=3, dim_height=size, dim_width=size, num_attention=1,
+            block_out_channels=(8, 16), layers_per_block=1,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), jnp.zeros((1,))
+        )
+        used = schedule.timesteps_for_epoch(0, 10, 1)
+        sample_fn = make_sample_fn(model, schedule, cfg, used)
+        latent = np.full((batch, size, size, 3), 0.1, np.float32)
+        key = jax.random.PRNGKey(3)
+
+        out_single = np.asarray(sample_fn(params, jnp.asarray(latent), key))
+
+        plan = make_mesh()
+        out_shard = np.asarray(sample_fn(
+            jax.device_put(params, plan.replicated),
+            jax.device_put(latent, plan.batch_sharding),
+            jax.device_put(key, plan.replicated),
+        ))
+        np.testing.assert_allclose(out_single, out_shard, atol=2e-5)
+
 
 def test_put_global_batch_single_process():
     """put_global_batch shards the batch over the data axis (single-process

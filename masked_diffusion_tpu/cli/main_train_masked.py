@@ -183,7 +183,8 @@ def main(argv=None) -> int:
         method=cfg.method, title=cfg.title, make_dirs=main_process,
     )
     np.random.seed(cfg.seed)  # host-side seeding (main_train_masked.py:441-445)
-    if main_process:
+    # the sample-task tree (utils/dirs.py:100-113) has no option/log dirs
+    if main_process and "option" in dirs.list_dir:
         cfg.save_option(dirs.list_dir["option"])
 
     # ---- data (+ mean histogram, main_train_masked.py:46-89)
@@ -204,7 +205,11 @@ def main(argv=None) -> int:
     # always-on JSONL metrics sink (log/metrics.jsonl); wandb only if enabled;
     # instantiated main-process-only like the reference
     # (main_train_masked.py:313-319)
-    visualizer = Visualizer(cfg, dirs.list_dir["log"]) if main_process else None
+    visualizer = (
+        Visualizer(cfg, dirs.list_dir["log"])
+        if main_process and "log" in dirs.list_dir
+        else None
+    )
 
     print(
         f"***** Running {cfg.method} *****\n"
@@ -261,6 +266,57 @@ def main(argv=None) -> int:
         )
         tester = Tester(cfg, dataset, model, params, ema, dataset_hist=dataset_hist)
         tester.run(dirs)
+    elif method == "sample":
+        # standalone generation (serving path, sample/generate.py): the
+        # reference has no checkpoint->images entry point — its only sampling
+        # runs inside training (trainer_masked_mean_shift.py:409-429) or the
+        # Tester loop (tester.py:57-133)
+        from masked_diffusion_tpu.io.checkpoint import (
+            find_resume_checkpoint,
+            load_checkpoint,
+        )
+        from masked_diffusion_tpu.ops.schedule import build_schedule
+        from masked_diffusion_tpu.sample.generate import generate_images
+        from masked_diffusion_tpu.train.step import create_train_state
+        from masked_diffusion_tpu.train.optim import build_lr_schedule, build_optimizer
+        from masked_diffusion_tpu.train.trainer import build_model_from_config
+
+        ckpt_path = cfg.test_model_path
+        if not ckpt_path and str(cfg.resume_from_checkpoint) != "False":
+            ckpt_dir = cfg.output_dir or dirs.list_dir.get("checkpoint")
+            if ckpt_dir:
+                ckpt_path = find_resume_checkpoint(ckpt_dir, cfg.resume_from_checkpoint)
+        if not ckpt_path:
+            raise SystemExit(
+                "--method sample needs --test_model_path (or "
+                "--resume_from_checkpoint latest with --output_dir)"
+            )
+        model = build_model_from_config(cfg)
+        tx = build_optimizer("adamw", build_lr_schedule("constant", cfg.lr, 0, 1))
+        state = create_train_state(
+            model, jax.random.PRNGKey(cfg.seed),
+            (1, cfg.data_size, cfg.data_size, cfg.in_channel), tx, cfg.use_ema,
+        )
+        params, ema, _, _ = load_checkpoint(
+            ckpt_path, state.params, state.ema_params, None
+        )
+        schedule = build_schedule(
+            cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
+            cfg.select_degrade_pixel, cfg.ddpm_schedule_base,
+        )
+        cfg.updated_ddpm_num_steps = schedule.num_steps
+        out_dir = dirs.list_dir.get("sample") or dirs.list_dir["test_sample_img"]
+        stats = generate_images(
+            cfg, model,
+            ema if (cfg.use_ema and ema is not None) else params,
+            schedule, dataset_hist, mesh_plan,
+            out_dir=out_dir if main_process else None,
+        )
+        print(
+            f"sampled {len(stats['images'])} images in {stats['batches']} "
+            f"batch(es) -> {out_dir} ({stats['images_per_sec']:.2f} imgs/s)",
+            flush=True,
+        )
     else:
         raise SystemExit(f"unknown --method {cfg.method!r}")
 

@@ -61,6 +61,11 @@ def make_mesh(
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
+    if data * model < n:
+        # an explicit smaller topology runs on a prefix of the devices
+        # (sharing a host with other jobs, or testing small meshes)
+        devices = devices[: data * model]
+        n = len(devices)
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
     dev_array = mesh_utils.create_device_mesh((data, model), devices=devices)

@@ -87,6 +87,39 @@ def test_cli_sampling_base_and_interpolation(tmp_path):
     assert {"ema_sample_t_mean", "ema_sample_0_mean"} <= keys
 
 
+def test_cli_standalone_sample(tmp_path):
+    """--method sample: the checkpoint->images serving path
+    (sample/generate.py — absent in the reference, whose only sampling runs
+    inside training or the Tester loop)."""
+    assert main(_args(tmp_path, "trainrun")) == 0
+    runs = glob.glob(str(tmp_path / "result/cli/synthetic/base/*/trainrun"))
+    ckpt_dir = os.path.join(runs[0], "checkpoint")
+    ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+
+    assert main(_args(
+        tmp_path, "sampled",
+        ("--method", "sample", "--test_model_path", ckpt,
+         "--sample_num", "5", "--batch_size", "4", "--mesh_data", "2"),
+    )) == 0
+    out = glob.glob(str(tmp_path / "result/cli/synthetic/sample/*/sampled"))
+    assert len(out) == 1
+    files = os.listdir(os.path.join(out[0], "test", "sample"))
+    # 5 images in 2 batches of 4 -> 5 per-image PNGs + 2 batch grids
+    assert sum(f.startswith("sample_0") for f in files) == 5
+    assert sum(f.startswith("sample_grid_") for f in files) == 2
+
+    # latest-scan route through --output_dir works too
+    assert main(_args(
+        tmp_path, "sampled2",
+        ("--method", "sample", "--resume_from_checkpoint", "latest",
+         "--output_dir", ckpt_dir, "--sample_num", "2", "--batch_size", "2",
+         "--use_ema", "False"),
+    )) == 0
+    out2 = glob.glob(str(tmp_path / "result/cli/synthetic/sample/*/sampled2"))
+    files2 = os.listdir(os.path.join(out2[0], "test", "sample"))
+    assert sum(f.startswith("sample_0") for f in files2) == 2
+
+
 def test_cli_bad_method(tmp_path):
     with pytest.raises(SystemExit):
         main(_args(tmp_path, "bad", ("--method", "bogus")))

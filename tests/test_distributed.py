@@ -23,9 +23,15 @@ class TestMesh:
         plan = make_mesh(data=4, model=2)
         assert plan.mesh.shape == {"data": 4, "model": 2}
 
-    def test_bad_shape_raises(self):
+    def test_small_mesh_uses_device_prefix(self):
+        # an explicit smaller topology runs on a prefix of the devices
+        plan = make_mesh(data=3, model=2)
+        assert plan.mesh.shape == {"data": 3, "model": 2}
+        assert plan.mesh.size == 6
+
+    def test_oversubscribed_mesh_raises(self):
         with pytest.raises(ValueError):
-            make_mesh(data=3, model=2)
+            make_mesh(data=16, model=1)
 
     def test_batch_sharding(self):
         plan = make_mesh()

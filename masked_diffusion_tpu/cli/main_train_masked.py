@@ -117,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument(
+        "--tp_min_features", type=int, default=256,
+        help="narrowest output-feature width that channel-shards over the "
+        "'model' axis when --mesh_model > 1 (parallel/tp.py)",
+    )
     p.add_argument("--multihost", type=str2bool, default=False)
     p.add_argument("--capture_trajectory", type=str2bool, default=False)
     p.add_argument(

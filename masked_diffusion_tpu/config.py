@@ -93,7 +93,10 @@ class Config:
     # ------------------------------------------------------------------ TPU-native extensions
     seed: int = 0
     mesh_data: int = -1  # -1: all local devices on the data axis
-    mesh_model: int = 1  # reserved tensor-parallel axis
+    mesh_model: int = 1  # tensor-parallel axis (parallel/tp.py channel sharding)
+    # narrowest output-feature width that shards over 'model' (wide kernels
+    # + their adamw moments and EMA leaves); only read when mesh_model > 1
+    tp_min_features: int = 256
     capture_trajectory: bool = False  # sampler keeps per-step buffers (HBM-heavy)
     # route to the interpolation sampler (Sampler.sample's 3rd arg,
     # sampler.py:102-106,264-366 — dead in the reference, live here): when

@@ -59,7 +59,12 @@ def generate_images(
     used = schedule.timesteps_for_epoch(1, 10, cfg.scheduler_num_scale_timesteps)
     sample_fn = make_sample_fn(model, schedule, cfg, used)
     if mesh_plan is not None:
-        params = jax.device_put(params, mesh_plan.replicated)
+        if mesh_plan.model_size > 1:
+            from masked_diffusion_tpu.parallel.tp import shard_tree
+
+            params = shard_tree(mesh_plan, params, cfg.tp_min_features)
+        else:
+            params = jax.device_put(params, mesh_plan.replicated)
 
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)

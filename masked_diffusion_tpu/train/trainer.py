@@ -110,8 +110,7 @@ class Trainer:
         self.state = create_train_state(
             self.model, init_key, sample_shape, self.tx, use_ema=cfg.use_ema
         )
-        if mesh_plan is not None:
-            self.state = jax.device_put(self.state, mesh_plan.replicated)
+        self.state = self._place_state(self.state)
 
         self._step_cache: Dict[tuple, callable] = {}
         self._sample_cache: Dict[tuple, callable] = {}
@@ -123,6 +122,18 @@ class Trainer:
         self.global_step = 0
         self.timesteps_used_epoch = None
         self.n_params = count_params(self.state.params)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Put the TrainState onto the mesh: with --mesh_model > 1, wide
+        kernels + their adamw moments and EMA leaves channel-shard over the
+        'model' axis (parallel/tp.py); otherwise everything replicates."""
+        if self.mesh_plan is None:
+            return state
+        if self.mesh_plan.model_size > 1:
+            from masked_diffusion_tpu.parallel.tp import shard_tree
+
+            return shard_tree(self.mesh_plan, state, self.cfg.tp_min_features)
+        return jax.device_put(state, self.mesh_plan.replicated)
 
     # ------------------------------------------------------------------ resume
     def restore(self, path: str) -> int:
@@ -138,15 +149,12 @@ class Trainer:
             path, self.state.params, self.state.ema_params, self.state.opt_state
         )
         global_step = int(meta.get("global_step", 0))
-        step = jnp.asarray(global_step, jnp.int32)
-        if self.mesh_plan is not None:
-            step = jax.device_put(step, self.mesh_plan.replicated)
-        self.state = self.state.replace(
-            step=step,
+        self.state = self._place_state(self.state.replace(
+            step=jnp.asarray(global_step, jnp.int32),
             params=params,
             ema_params=ema if ema is not None else self.state.ema_params,
             opt_state=opt_state if opt_state is not None else self.state.opt_state,
-        )
+        ))
         hist = meta.get("history", {})
         self.loss_mean_epoch = [float(v) for v in hist.get("loss_mean_epoch", [])]
         self.lr_list = [float(v) for v in hist.get("lr_list", [])]

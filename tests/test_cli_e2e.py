@@ -87,6 +87,31 @@ def test_cli_sampling_base_and_interpolation(tmp_path):
     assert {"ema_sample_t_mean", "ema_sample_0_mean"} <= keys
 
 
+def test_cli_tensor_parallel_train_resume(tmp_path):
+    """--mesh_model 2: training (and resume) run with wide kernels
+    channel-sharded over the model axis (parallel/tp.py wired through
+    Trainer._place_state); loss stays finite and checkpoints round-trip."""
+    tp = ("--mesh_data", "4", "--mesh_model", "2", "--tp_min_features", "8")
+    assert main(_args(tmp_path, "tprun", tp)) == 0
+    runs = glob.glob(str(tmp_path / "result/cli/synthetic/base/*/tprun"))
+    assert len(runs) == 1
+    ckpt_dir = os.path.join(runs[0], "checkpoint")
+    with open(os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1], "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["global_step"] > 0
+
+    assert main(_args(
+        tmp_path, "tpresumed",
+        (*tp, "--resume_from_checkpoint", "latest", "--output_dir", ckpt_dir,
+         "--num_epochs", "3"),
+    )) == 0
+    runs2 = glob.glob(str(tmp_path / "result/cli/synthetic/base/*/tpresumed"))
+    ckpt_dir2 = os.path.join(runs2[0], "checkpoint")
+    with open(os.path.join(ckpt_dir2, sorted(os.listdir(ckpt_dir2))[-1], "meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["global_step"] > meta["global_step"]
+
+
 def test_cli_standalone_sample(tmp_path):
     """--method sample: the checkpoint->images serving path
     (sample/generate.py — absent in the reference, whose only sampling runs

@@ -213,6 +213,22 @@ class Trainer:
         epoch_length = epoch_length or cfg.num_epochs
         visualizer = visualizer or self.visualizer
         self.global_step = global_step
+
+        # preemption-safe shutdown (beyond the reference, SURVEY §5 failure
+        # detection): TPU pods get SIGTERM'd on eviction; catch it, finish the
+        # in-flight step, save a resumable checkpoint, and exit cleanly
+        # instead of losing everything since the last save cadence
+        import signal
+
+        self._preempt_requested = False
+
+        def _on_sigterm(*_):
+            self._preempt_requested = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not in the main thread; run unprotected
+            prev_handler = None
         # rng streams are derived per-epoch from (seed, epoch), not carried
         # sequentially: a resumed run at an epoch boundary then replays the
         # exact shuffles and step keys of the uninterrupted run, which is what
@@ -224,6 +240,20 @@ class Trainer:
         # its trace is all XLA compilation; trace epoch_start+1 instead
         profile_epoch = epoch_start + 1 if epoch_length > 1 else epoch_start
 
+        last_metrics = {}
+        try:
+            last_metrics = self._train_epochs(
+                epoch_start, epoch_length, root_key, profile_epoch, dirs, visualizer
+            )
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+        return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
+
+    def _train_epochs(
+        self, epoch_start, epoch_length, root_key, profile_epoch, dirs, visualizer
+    ) -> Dict:
+        cfg = self.cfg
         last_metrics = {}
         for epoch in range(epoch_start, epoch_start + epoch_length):
             t_start = time.perf_counter()
@@ -245,6 +275,8 @@ class Trainer:
                     losses.append(metrics)
                     self.global_step += 1
                     self._last_batch = batch
+                    if self._preempt_requested:
+                        break
 
             # host sync once per epoch
             losses = [{k: float(v) for k, v in m.items()} for m in losses]
@@ -267,6 +299,25 @@ class Trainer:
             self.lr_list.extend(m.get("lr", 0.0) for m in losses)
             last_metrics = losses[-1] if losses else {}
             epoch_time = time.perf_counter() - t_start
+
+            if self._preempt_requested:
+                if dirs is not None:
+                    save_checkpoint(
+                        dirs.list_dir["checkpoint"], epoch, self.global_step,
+                        self.state.params, self.state.ema_params,
+                        self.state.opt_state,
+                        extra_meta={"preempted": True},
+                        history={
+                            "loss_mean_epoch": self.loss_mean_epoch,
+                            "lr_list": self.lr_list,
+                        },
+                    )
+                print(
+                    f"SIGTERM: resumable checkpoint saved at epoch {epoch} "
+                    f"(global step {self.global_step}); exiting cleanly",
+                    flush=True,
+                )
+                return last_metrics
 
             if visualizer is not None and losses:
                 # epoch_time includes the device sync above, so imgs/sec is a
@@ -315,7 +366,7 @@ class Trainer:
                         },
                     )
 
-        return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
+        return last_metrics
 
     def _on_save_cadence(self, epoch: int, epoch_start: int, epoch_length: int) -> bool:
         cfg = self.cfg

@@ -140,6 +140,51 @@ class TestDedupUnits:
         assert len(fresh) == 1  # only b survives
 
 
+def test_sigterm_saves_resumable_checkpoint(tmp_path):
+    """Preemption safety (beyond the reference): SIGTERM mid-training saves a
+    resumable checkpoint marked preempted=True and train() returns cleanly
+    instead of dying at the default handler."""
+    import json
+    import os
+    import signal
+    import threading
+
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.data.datasets import InMemoryDataset, make_synthetic
+    from masked_diffusion_tpu.train.trainer import Trainer
+    from masked_diffusion_tpu.utils.dirs import Dir
+
+    cfg = Config(
+        method="base", data_size=8, batch_size=4, num_epochs=10_000,
+        ddpm_schedule="log", ddpm_num_steps=4, select_degrade_pixel="indexing",
+        mean_option="degraded_area", shift_type="non_shift", use_ema=True,
+        use_wandb=False, block_out_channels=(8, 16), layers_per_block=1,
+        lr_warmup_steps=0, sample_latent_shape="zero", sample_num=2,
+        save_images_epochs=1_000_000,  # never reach the normal save cadence
+    )
+    data, labels = make_synthetic(16, 8, seed=0)
+    trainer = Trainer(cfg, InMemoryDataset(data, labels))
+    dirs = Dir(task="train", content="preempt", dir_work=str(tmp_path),
+               dir_dataset="", data_name="synthetic", data_set="train",
+               data_size=8, method="base", title="t")
+
+    killer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    killer.start()
+    try:
+        trainer.train(0, cfg.num_epochs, dirs=dirs)  # returns, doesn't die
+    finally:
+        killer.cancel()
+
+    ckpts = sorted(os.listdir(dirs.list_dir["checkpoint"]))
+    assert ckpts, "no preemption checkpoint written"
+    with open(os.path.join(dirs.list_dir["checkpoint"], ckpts[-1], "meta.json")) as f:
+        meta = json.load(f)
+    assert meta.get("preempted") is True
+    assert meta["global_step"] == trainer.global_step > 0
+    # the handler is restored after train()
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_trajectory_grids_saved(tmp_path):
     """capture_trajectory=True writes per-item step grids to sample_all_t
     (the reference's visual_list artifacts, sampler.py:390-417)."""

@@ -145,6 +145,28 @@ def test_cli_standalone_sample(tmp_path):
     assert sum(f.startswith("sample_0") for f in files2) == 2
 
 
+def test_cli_zoo_model_train_and_sample(tmp_path):
+    """--model unet3 (zoo family, models_Unet.py:17 surface): trains,
+    checkpoints, and the standalone sample arm serves from the zoo
+    checkpoint — the --model flag must round-trip through create_train_state
+    templates on both paths."""
+    zoo = ("--model", "unet3", "--data_size", "16", "--num_epochs", "1",
+           "--save_images_epochs", "1")
+    assert main(_args(tmp_path, "zoorun", zoo)) == 0
+    runs = glob.glob(str(tmp_path / "result/cli/synthetic/base/*/zoorun"))
+    ckpt_dir = os.path.join(runs[0], "checkpoint")
+    ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+
+    assert main(_args(
+        tmp_path, "zoosampled",
+        (*zoo, "--method", "sample", "--test_model_path", ckpt,
+         "--sample_num", "2", "--batch_size", "2"),
+    )) == 0
+    out = glob.glob(str(tmp_path / "result/cli/synthetic/sample/*/zoosampled"))
+    files = os.listdir(os.path.join(out[0], "test", "sample"))
+    assert sum(f.startswith("sample_0") for f in files) == 2
+
+
 def test_cli_bad_method(tmp_path):
     with pytest.raises(SystemExit):
         main(_args(tmp_path, "bad", ("--method", "bogus")))

@@ -250,7 +250,12 @@ def main(argv=None) -> int:
                     f"Checkpoint '{cfg.resume_from_checkpoint}' does not exist. "
                     "Starting a new training run."
                 )
-        trainer.train(first_epoch, cfg.num_epochs, resume_step, global_step, dirs, visualizer)
+        # reference semantics: num_epochs is the TOTAL epoch count — a
+        # resumed run completes epochs first_epoch..num_epochs-1, it does not
+        # train num_epochs more (main_train_masked.py:285-335 runs
+        # range(first_epoch, num_epochs))
+        remaining = max(0, cfg.num_epochs - first_epoch)
+        trainer.train(first_epoch, remaining, resume_step, global_step, dirs, visualizer)
     elif method == "test":
         from masked_diffusion_tpu.io.checkpoint import load_checkpoint
         from masked_diffusion_tpu.tester import Tester

@@ -32,14 +32,32 @@ def _cache_dir() -> str:
     return d
 
 
+_CXX_FLAGS = ["-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-std=c++17"]
+
+
 def _build() -> Optional[str]:
-    so_path = os.path.join(_cache_dir(), "libmdt_preprocess.so")
+    # the compile flags are part of the cache key: -march=native makes the
+    # binary machine-specific, so a cache dir shared across heterogeneous
+    # hosts (NFS home, baked container image) must not serve one host's
+    # AVX-tuned build to another (SIGILL), and flag changes must rebuild
+    # even though the source mtime didn't move
+    import hashlib
+    import platform
+
+    cpu = platform.machine()
+    try:  # -march=native binds to the exact CPU model, not just the ISA
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256(" ".join(_CXX_FLAGS + [cpu]).encode()).hexdigest()[:12]
+    so_path = os.path.join(_cache_dir(), f"libmdt_preprocess.{tag}.so")
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
-    cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", so_path,
-    ]
+    cmd = ["g++", *_CXX_FLAGS, _SRC, "-o", so_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so_path

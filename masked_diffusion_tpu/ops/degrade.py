@@ -46,6 +46,31 @@ Array = jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
+def masks_from_uniforms(u: Array, counts: Array) -> Array:
+    """(B, HW) keep-masks with exactly counts[i] zeros: the counts[i] rank-
+    smallest entries of u[i] (ties broken by pixel index, stable-sort order).
+
+    One stable index sort + a scatter of the sorted keep/degrade flags back
+    to pixel positions. Selection is bit-for-bit the double-argsort ranks
+    (mask = argsort(argsort(u)) >= k) — a stable argsort orders tied values
+    by index, and position j in sorted order maps to rank j — while paying
+    for only ONE sort. A plain value-sort + threshold (u >= kth value) is
+    cheaper still but WRONG under ties: fp32 uniforms collide with
+    probability ~hw^2/2^24 per row (~0.05% of masks at 64^2, ~0.8% at
+    256^2), and a tie straddling the threshold keeps both pixels, breaking
+    the exact-count contract.
+    """
+    batch, hw = u.shape
+    counts = counts.astype(jnp.int32)
+    order = jnp.argsort(u, axis=1, stable=True)
+    keep_sorted = (jnp.arange(hw)[None, :] >= counts[:, None]).astype(jnp.float32)
+    return (
+        jnp.zeros((batch, hw), jnp.float32)
+        .at[jnp.arange(batch)[:, None], order]
+        .set(keep_sorted)
+    )
+
+
 def exact_count_masks(key: Array, batch: int, height: int, width: int, counts: Array) -> Array:
     """Per-image masks with exactly counts[i] zero ("black") pixels.
 
@@ -57,18 +82,7 @@ def exact_count_masks(key: Array, batch: int, height: int, width: int, counts: A
     """
     hw = height * width
     u = jax.random.uniform(key, (batch, hw))
-    counts = counts.astype(jnp.int32)
-    # one VALUE sort + per-row gathered threshold replaces the original
-    # double argsort (argsort(argsort(u)) ranks): u < (k-th smallest) selects
-    # exactly the k smallest uniforms (draws are distinct at fp32 w.p. ~1,
-    # and any tie costs at most the tie size — same as the pallas kernel's
-    # contract). Sorting VALUES once is ~2x cheaper on TPU than two
-    # index-payload sorts.
-    su = jnp.sort(u, axis=1)
-    idx = jnp.clip(counts, 0, hw - 1)[:, None]
-    thr = jnp.take_along_axis(su, idx, axis=1)  # (B, 1): (k+1)-th smallest
-    thr = jnp.where(counts[:, None] >= hw, jnp.inf, thr)
-    keep = (u >= thr).astype(jnp.float32)
+    keep = masks_from_uniforms(u, counts)
     return keep.reshape(batch, height, width, 1)
 
 

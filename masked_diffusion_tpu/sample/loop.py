@@ -173,6 +173,17 @@ def make_sample_fn(
                     "degraded_t": cap(degraded_t),
                     "difference": cap(difference),
                     "degraded_next_t": cap(degraded_next),
+                    # FULL-batch per-step scalar means: the reference's
+                    # trajectory means are over the entire (T+1, N, ...)
+                    # buffers (trainer_masked_mean_shift.py:386-390); the
+                    # sliced image ys above cover only capture_items samples,
+                    # so the statistic is carried separately at scalar cost
+                    "means": {
+                        "sample_t": jnp.mean(sample_t),
+                        "shifted": jnp.mean(shifted_sample_t),
+                        "sample_0": jnp.mean(sample_0),
+                        "shifted_result": jnp.mean(shifted_sample_0),
+                    },
                 }
             else:
                 ys = None

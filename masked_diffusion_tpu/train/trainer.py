@@ -210,7 +210,7 @@ class Trainer:
         visualizer=None,
     ) -> Dict:
         cfg = self.cfg
-        epoch_length = epoch_length or cfg.num_epochs
+        epoch_length = cfg.num_epochs if epoch_length is None else epoch_length
         visualizer = visualizer or self.visualizer
         self.global_step = global_step
 
@@ -243,7 +243,8 @@ class Trainer:
         last_metrics = {}
         try:
             last_metrics = self._train_epochs(
-                epoch_start, epoch_length, root_key, profile_epoch, dirs, visualizer
+                epoch_start, epoch_length, root_key, profile_epoch,
+                resume_step, dirs, visualizer
             )
         finally:
             if prev_handler is not None:
@@ -251,9 +252,15 @@ class Trainer:
         return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
 
     def _train_epochs(
-        self, epoch_start, epoch_length, root_key, profile_epoch, dirs, visualizer
+        self, epoch_start, epoch_length, root_key, profile_epoch,
+        resume_step, dirs, visualizer
     ) -> Dict:
         cfg = self.cfg
+        # SIGTERM delivery is per-process; on a single host the flag is acted
+        # on per batch, on multi-host only at epoch boundaries after all
+        # processes agree (host.any_flag) — acting on the local flag mid-epoch
+        # would desynchronize the collective step/checkpoint sequence
+        single_process = host.process_count() <= 1
         last_metrics = {}
         for epoch in range(epoch_start, epoch_start + epoch_length):
             t_start = time.perf_counter()
@@ -266,16 +273,25 @@ class Trainer:
             step_fn = self._get_step_fn(used)
 
             losses = []
+            n_batches = self.dataset.num_batches(cfg.batch_size)
             with trace(cfg.profile_dir if epoch == profile_epoch else None):
-                for batch in self.dataset.epoch_batches(rng, cfg.batch_size):
+                for i, batch in enumerate(self.dataset.epoch_batches(rng, cfg.batch_size)):
+                    # mid-epoch resume (a preemption checkpoint): replay the
+                    # epoch's key stream without re-training the first
+                    # resume_step batches — the shuffle comes from
+                    # rng(seed, epoch) and the step keys from the split chain,
+                    # so the continued run sees exactly the batches/keys the
+                    # preempted run never reached
                     data_key, step_key = jax.random.split(data_key)
+                    if epoch == epoch_start and i < resume_step:
+                        continue
                     self.state, metrics = step_fn(
                         self.state, self._put_batch(batch), step_key
                     )
                     losses.append(metrics)
                     self.global_step += 1
                     self._last_batch = batch
-                    if self._preempt_requested:
+                    if single_process and self._preempt_requested:
                         break
 
             # host sync once per epoch
@@ -300,7 +316,13 @@ class Trainer:
             last_metrics = losses[-1] if losses else {}
             epoch_time = time.perf_counter() - t_start
 
-            if self._preempt_requested:
+            if host.any_flag(self._preempt_requested):
+                partial = self.global_step % max(1, n_batches) != 0
+                if partial:
+                    # the interrupted epoch's mean covers only its leading
+                    # batches; drop it — the resumed run re-enters this epoch
+                    # at resume_step and appends the tail's mean instead
+                    self.loss_mean_epoch.pop()
                 if dirs is not None:
                     save_checkpoint(
                         dirs.list_dir["checkpoint"], epoch, self.global_step,
@@ -334,11 +356,14 @@ class Trainer:
                 )
 
             if self._on_save_cadence(epoch, epoch_start, epoch_length):
-                # artifact writes are main-process-only (utils/host.py
-                # policy == trainer_masked_mean_shift.py:242); orbax array
-                # saves inside save_checkpoint stay collective
-                if dirs is not None and host.is_main_process():
-                    self._save_learning_curve(dirs)
+                # the jitted compute below (EMA sampling scan, visuals
+                # forward) is collective over the mesh — every process must
+                # dispatch it; only the host-side artifact writes inside the
+                # _save_* helpers are process-0-gated (utils/host.py policy
+                # == trainer_masked_mean_shift.py:242)
+                if dirs is not None:
+                    if host.is_main_process():
+                        self._save_learning_curve(dirs)
                     self._save_train_visuals(dirs, epoch, used, data_key, visualizer)
                     if cfg.use_ema:
                         # --sampling dispatch (trainer_masked_mean_shift.py:
@@ -351,8 +376,11 @@ class Trainer:
                             self._save_ema_sample(dirs, epoch, visualizer)
                         else:
                             self._save_ema_momentum_sample(dirs, epoch, visualizer)
-                        if cfg.interpolation_shift is not None:
-                            self._save_interpolation_sample(dirs, epoch, visualizer)
+                    # interpolation rendering is independent of EMA:
+                    # _save_interpolation_sample falls back to raw params
+                    # when use_ema is off
+                    if cfg.interpolation_shift is not None:
+                        self._save_interpolation_sample(dirs, epoch, visualizer)
                 if dirs is not None:
                     # collective on purpose: every process calls the orbax
                     # save (it coordinates per-shard writes); the meta/history
@@ -431,6 +459,8 @@ class Trainer:
             return
         visuals_fn = self._get_visuals_fn(used)
         out = visuals_fn(self.state.params, self._put_batch(self._last_batch), key)
+        if not host.is_main_process():
+            return  # compute was collective; writes are process-0-only
         display = {}
         for name, tensor in out.items():
             d = dirs.list_dir.get(self._VISUAL_DIRS.get(name, "img"))
@@ -469,6 +499,8 @@ class Trainer:
         per-item step trajectories also land in sample_all_t (the reference's
         visual_list grids, sampler.py:390-417)."""
         out = self.sample_ema(jax.random.PRNGKey(self.cfg.seed + epoch))
+        if not host.is_main_process():
+            return  # the sampling scan was collective; writes are p0-only
         if isinstance(out, tuple):
             sample, trajectory = np.asarray(out[0]), out[1]
             self._save_trajectory_grids(dirs, epoch, trajectory)
@@ -501,6 +533,8 @@ class Trainer:
         d = dirs.list_dir["sample_all_t"]
         n_items = 4
         for key, buf in trajectory.items():
+            if key == "means":  # per-step scalars, not an image buffer
+                continue
             # slice items on-device BEFORE transfer: the full trajectory is
             # (T, N, H, W, C) — ~3GB at the flagship config — and only
             # n_items are rendered
@@ -522,12 +556,18 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.seed + epoch), capture=True
         )
         sample, trajectory = out
+        if not host.is_main_process():
+            return  # the sampling scan was collective; writes are p0-only
+        # full-batch trajectory means carried as per-step scalars by the scan
+        # (loop.py 'means' ys) — NOT from the capture_items-sliced image
+        # buffers, which would make the logged statistic cover only 4 samples
+        m = trajectory["means"]
         means = {
             "ema_sample_mean": float(jnp.mean(sample)),
-            "ema_sample_t_mean": float(jnp.mean(trajectory["sample_t"])),
-            "ema_sample_0_mean": float(jnp.mean(trajectory["sample_0"])),
-            "ema_sample_shift_t_mean": float(jnp.mean(trajectory["shifted"])),
-            "ema_sample_0_shift_mean": float(jnp.mean(trajectory["shifted_result"])),
+            "ema_sample_t_mean": float(jnp.mean(m["sample_t"])),
+            "ema_sample_0_mean": float(jnp.mean(m["sample_0"])),
+            "ema_sample_shift_t_mean": float(jnp.mean(m["shifted"])),
+            "ema_sample_0_shift_mean": float(jnp.mean(m["shifted_result"])),
         }
         self._save_trajectory_grids(dirs, epoch, trajectory)
         sample = np.asarray(sample)
@@ -569,6 +609,8 @@ class Trainer:
         sample, _mu = self._interp_cache[key](
             params, jax.random.PRNGKey(cfg.seed + epoch + 1)
         )
+        if not host.is_main_process():
+            return  # collective compute done; writes are p0-only
         sample = np.asarray(sample)
         d = dirs.list_dir["ema_sample_img"]
         g = save_image_grid(

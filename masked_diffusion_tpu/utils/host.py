@@ -46,6 +46,21 @@ def is_main_process() -> bool:
     return process_index() == 0
 
 
+def any_flag(local: bool) -> bool:
+    """OR a host-side flag across processes (collective when multi-process).
+
+    Used for the preemption flag: SIGTERM delivery is per-process and not
+    simultaneous, so acting on the local flag alone would desynchronize the
+    collective step/checkpoint sequence; all hosts must agree first."""
+    if process_count() <= 1:
+        return bool(local)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(bool(local)))
+    return bool(np.any(flags))
+
+
 def synced_timestamp() -> Tuple[str, str]:
     """(date, time) strings agreed across hosts: process 0's wall clock,
     broadcast over the mesh when more than one process is live."""

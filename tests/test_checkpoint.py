@@ -134,6 +134,81 @@ class TestTrainerResumeEquivalence:
         )
 
 
+class TestMidEpochPreemptionResume:
+    def test_preempt_resume_matches_uninterrupted(self, tmp_path):
+        """SIGTERM mid-run -> preemption checkpoint -> restore -> continue
+        with resume_step replays the uninterrupted run bitwise: the resumed
+        epoch re-derives the same shuffle (rng(seed, epoch)) and step-key
+        chain, skipping exactly the batches already trained."""
+        import os
+        import signal
+        import threading
+
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.data.datasets import get_dataset
+        from masked_diffusion_tpu.io.checkpoint import find_resume_checkpoint
+        from masked_diffusion_tpu.train.trainer import Trainer
+        from masked_diffusion_tpu.utils.dirs import Dir
+
+        size = 8
+        total_epochs = 3
+        cfg = Config(
+            method="base", data_name="synthetic", data_size=size,
+            data_subset=True, data_subset_num=16, batch_size=4, num_epochs=total_epochs,
+            ddpm_schedule="log", ddpm_num_steps=4,
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+            shift_type="non_shift", use_ema=True, lr=1e-3,
+            lr_scheduler="constant", lr_warmup_steps=0, sample_num=2,
+            sample_latent_shape="zero", save_images_epochs=100,
+            use_wandb=False, block_out_channels=(8, 16), layers_per_block=1,
+        )
+        dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=16)
+        spe = dataset.num_batches(cfg.batch_size)
+
+        def dirs_for(sub):
+            return Dir(task="train", content=sub, dir_work=str(tmp_path / sub),
+                       data_name="synthetic", data_size=size, method=cfg.method)
+
+        t_full = Trainer(cfg, dataset)
+        t_full.train(0, total_epochs, dirs=dirs_for("full"))
+
+        t_pre = Trainer(cfg, dataset)
+        dirs_pre = dirs_for("pre")
+        # fires during the first epoch's compile -> break after an early step
+        killer = threading.Timer(2.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        killer.start()
+        try:
+            t_pre.train(0, total_epochs, dirs=dirs_pre)
+        finally:
+            killer.cancel()
+        gs_pre = t_pre.global_step
+        if gs_pre >= total_epochs * spe:
+            pytest.skip("run finished before SIGTERM landed")
+
+        path = find_resume_checkpoint(dirs_pre.list_dir["checkpoint"], "latest")
+        assert path is not None
+        t_res = Trainer(cfg, dataset)
+        gs = t_res.restore(path)
+        assert gs == gs_pre
+        first_epoch, resume_step = gs // spe, gs % spe
+        t_res.train(
+            first_epoch, total_epochs - first_epoch, resume_step, gs,
+            dirs=dirs_for("resumed"),
+        )
+
+        assert t_res.global_step == total_epochs * spe
+        for a, b in zip(
+            jax.tree.leaves(t_full.state.params), jax.tree.leaves(t_res.state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(t_full.state.ema_params),
+            jax.tree.leaves(t_res.state.ema_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestResumeTraining:
     def test_resume_continues_bitwise(self, tmp_path):
         """checkpoint -> restore -> one more step == uninterrupted two steps."""

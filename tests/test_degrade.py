@@ -30,6 +30,24 @@ class TestMaskGeneration:
         assert not np.array_equal(np.asarray(m1), np.asarray(m2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m1b))
 
+    def test_exact_count_under_ties(self):
+        """Tied uniforms must still produce EXACTLY counts[i] degraded
+        pixels, selected identically to the stable double-argsort ranks —
+        fp32 draws collide at real image sizes (~hw^2/2^24 per row), and a
+        value-threshold formulation keeps both tied pixels."""
+        rng = np.random.default_rng(0)
+        hw = 64
+        # heavy ties: only 4 distinct values
+        u = jnp.asarray(rng.integers(0, 4, (8, hw)) / 4.0, jnp.float32)
+        counts = jnp.asarray(rng.integers(0, hw + 1, 8), jnp.int32)
+        keep = degrade.masks_from_uniforms(u, counts)
+        np.testing.assert_array_equal(
+            hw - np.asarray(keep.sum(axis=1)), np.asarray(counts)
+        )
+        ranks = jnp.argsort(jnp.argsort(u, axis=1, stable=True), axis=1, stable=True)
+        expected = (ranks >= counts[:, None]).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(keep), np.asarray(expected))
+
     def test_threshold_ratio(self):
         key = jax.random.PRNGKey(0)
         ratios = jnp.array([0.0, 0.5, 1.0])

@@ -50,25 +50,29 @@ def masks_from_uniforms(u: Array, counts: Array) -> Array:
     """(B, HW) keep-masks with exactly counts[i] zeros: the counts[i] rank-
     smallest entries of u[i] (ties broken by pixel index, stable-sort order).
 
-    One stable index sort + a scatter of the sorted keep/degrade flags back
-    to pixel positions. Selection is bit-for-bit the double-argsort ranks
-    (mask = argsort(argsort(u)) >= k) — a stable argsort orders tied values
-    by index, and position j in sorted order maps to rank j — while paying
-    for only ONE sort. A plain value-sort + threshold (u >= kth value) is
-    cheaper still but WRONG under ties: fp32 uniforms collide with
-    probability ~hw^2/2^24 per row (~0.05% of masks at 64^2, ~0.8% at
-    256^2), and a tie straddling the threshold keeps both pixels, breaking
-    the exact-count contract.
+    One VALUE sort + a cumsum tie correction. A bare value-threshold
+    (u >= kth smallest) is cheapest but WRONG under ties: fp32 uniforms
+    collide with probability ~hw^2/2^24 per row (~0.05% of masks at 64^2,
+    ~0.8% at 256^2), and a tie straddling the threshold keeps both pixels,
+    breaking the exact-count contract. The correction degrades all u < thr
+    plus exactly the first (k - #below) tied-at-thr pixels in pixel-index
+    order — the same selection a STABLE argsort's first k positions give, so
+    this is bit-for-bit the double-argsort ranks at one sort plus a cumsum.
+    (A payload sort + scatter is also exact but measured 2.4 ms/step slower
+    in the flagship indexing-mode loop — TPU scatters are expensive.)
     """
     batch, hw = u.shape
     counts = counts.astype(jnp.int32)
-    order = jnp.argsort(u, axis=1, stable=True)
-    keep_sorted = (jnp.arange(hw)[None, :] >= counts[:, None]).astype(jnp.float32)
-    return (
-        jnp.zeros((batch, hw), jnp.float32)
-        .at[jnp.arange(batch)[:, None], order]
-        .set(keep_sorted)
-    )
+    su = jnp.sort(u, axis=1)
+    kidx = jnp.clip(counts - 1, 0, hw - 1)
+    thr = jnp.take_along_axis(su, kidx[:, None], axis=1)  # k-th smallest
+    below = u < thr
+    n_below = jnp.sum(below, axis=1, keepdims=True, dtype=jnp.int32)
+    tied = u == thr
+    tie_rank = jnp.cumsum(tied.astype(jnp.int32), axis=1)  # 1-based, index order
+    degrade = below | (tied & (tie_rank <= counts[:, None] - n_below))
+    degrade = jnp.where(counts[:, None] <= 0, False, degrade)
+    return 1.0 - degrade.astype(jnp.float32)
 
 
 def exact_count_masks(key: Array, batch: int, height: int, width: int, counts: Array) -> Array:

@@ -287,6 +287,51 @@ class TestTensorParallel:
         np.testing.assert_allclose(out_single, out_tp, atol=2e-5)
 
 
+def test_any_flag_single_process():
+    from masked_diffusion_tpu.utils.host import any_flag
+
+    assert any_flag(True) is True
+    assert any_flag(False) is False
+
+
+def test_generate_images_rounds_batch_to_mesh(tmp_path):
+    """generate_images rounds the batch up to a data-axis multiple and still
+    returns exactly num_images, writing per-image PNGs + batch grids."""
+    import os
+
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.models import build_unet
+    from masked_diffusion_tpu.ops.schedule import build_schedule
+    from masked_diffusion_tpu.sample.generate import generate_images
+
+    size = 8
+    cfg = Config(
+        method="base", data_size=size, ddpm_schedule="log", ddpm_num_steps=4,
+        select_degrade_pixel="indexing", degrade_channel="1-channel",
+        mean_option="degraded_area", mean_area="image-wise",
+        shift_type="non_shift", momentum_adaptive="base_momentum",
+        sampling_mask_dependency="independent", sample_latent_shape="zero",
+        sample_num=5, batch_size=3,
+    )
+    schedule = build_schedule("log", 4, size, "indexing")
+    model = build_unet(dim_channel=3, dim_height=size, dim_width=size,
+                       num_attention=1, block_out_channels=(8, 16),
+                       layers_per_block=1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), jnp.zeros((1,))
+    )
+    plan = make_mesh(data=2, model=1)
+    out = generate_images(
+        cfg, model, params, schedule, mesh_plan=plan, out_dir=str(tmp_path)
+    )
+    # batch 3 -> rounded to 4 over the 2-way data axis; 5 images need 2 batches
+    assert out["batches"] == 2
+    assert out["images"].shape == (5, size, size, 3)
+    files = os.listdir(tmp_path)
+    assert sum(f.startswith("sample_0") for f in files) == 5
+    assert sum(f.startswith("sample_grid_") for f in files) == 2
+
+
 def test_put_global_batch_single_process():
     """put_global_batch shards the batch over the data axis (single-process
     path; the multi-host path is the same sharding assembled from per-process

@@ -254,14 +254,23 @@ class InMemoryDataset:
         batch_size: int,
         drop_last: bool = True,
         shuffle: bool = True,
-    ) -> Iterator[np.ndarray]:
+        start: int = 0,
+    ) -> Iterator:
         """Shuffled batch iterator (DataLoader(shuffle=True, drop_last=True)
-        semantics, main_train_masked.py:92-102)."""
+        semantics, main_train_masked.py:92-102).
+
+        `start` skips the first batches WITHOUT materializing them (mid-epoch
+        resume: the shuffle is drawn in full so the remaining batches match
+        the uninterrupted epoch, but skipped batches yield None instead of a
+        fancy-indexed copy)."""
         idx = np.arange(len(self))
         if shuffle:
             rng.shuffle(idx)
         n_full = len(self) // batch_size
         for i in range(n_full):
+            if i < start:
+                yield None
+                continue
             yield self.data[idx[i * batch_size : (i + 1) * batch_size]]
         if not drop_last and len(self) % batch_size:
             yield self.data[idx[n_full * batch_size :]]

@@ -57,11 +57,20 @@ def _build() -> Optional[str]:
     so_path = os.path.join(_cache_dir(), f"libmdt_preprocess.{tag}.so")
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
-    cmd = ["g++", *_CXX_FLAGS, _SRC, "-o", so_path]
+    # compile to a private temp file and rename into place: concurrent
+    # processes (multi-host over shared NFS cache, or same-host workers)
+    # racing g++ straight onto so_path could dlopen a half-written binary
+    tmp_path = f"{so_path}.tmp.{os.getpid()}"
+    cmd = ["g++", *_CXX_FLAGS, _SRC, "-o", tmp_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, so_path)  # atomic within the cache dir
         return so_path
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
 
 

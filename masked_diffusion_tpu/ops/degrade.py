@@ -5,8 +5,9 @@ loop over torch.randperm (scheduler.py:281-284 — its single worst CPU hotspot)
 and fills the masked pixels with a mean value. Here everything is a batched
 device computation:
 
-  * 'indexing' (exact-k pixels): k smallest of per-pixel uniforms via a rank
-    transform (argsort of argsort) — exact pixel counts, fully parallel.
+  * 'indexing' (exact-k pixels): k smallest of per-pixel uniforms via one
+    value sort + a cumsum tie correction (masks_from_uniforms) — exact pixel
+    counts even under fp32 ties, fully parallel.
   * 'thresholding' (binomial count): per-pixel uniform > ratio, 1-channel
     (shared mask broadcast over channels) or 3-channel (independent per
     channel) — already the reference's formulation (scheduler.py:286-296).
@@ -51,10 +52,12 @@ def masks_from_uniforms(u: Array, counts: Array) -> Array:
     smallest entries of u[i] (ties broken by pixel index, stable-sort order).
 
     One VALUE sort + a cumsum tie correction. A bare value-threshold
-    (u >= kth smallest) is cheapest but WRONG under ties: fp32 uniforms
-    collide with probability ~hw^2/2^24 per row (~0.05% of masks at 64^2,
-    ~0.8% at 256^2), and a tie straddling the threshold keeps both pixels,
-    breaking the exact-count contract. The correction degrades all u < thr
+    (u >= kth smallest) is cheapest but WRONG under ties: jax fp32 uniforms
+    take ~2^23 distinct values, so the expected tied pairs per row is
+    ~hw^2/2^24 — about ONE per row at 64^2 (most rows contain a tie) — and
+    the contract breaks whenever a tie straddles the threshold, P ~ hw/2^23
+    (~0.05% of masks at 64^2, ~0.8% at 256^2): both tied pixels stay kept
+    and the mask comes up a pixel short. The correction degrades all u < thr
     plus exactly the first (k - #below) tied-at-thr pixels in pixel-index
     order — the same selection a STABLE argsort's first k positions give, so
     this is bit-for-bit the double-argsort ranks at one sort plus a cumsum.

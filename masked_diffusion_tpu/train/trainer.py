@@ -262,28 +262,38 @@ class Trainer:
         # would desynchronize the collective step/checkpoint sequence
         single_process = host.process_count() <= 1
         last_metrics = {}
+        # the timestep curriculum is a function of the CONFIGURED total epoch
+        # count (cfg.num_epochs), never the loop bounds — a resumed run
+        # passing only its remaining epochs, or a deliberately-shortened
+        # partial run, must see the same timesteps_for_epoch program at epoch
+        # e as the uninterrupted run (bitwise-resume invariant; matters when
+        # scheduler_num_scale_timesteps > 1)
+        epoch_total = max(cfg.num_epochs, epoch_start + epoch_length)
         for epoch in range(epoch_start, epoch_start + epoch_length):
             t_start = time.perf_counter()
             rng = np.random.default_rng([cfg.seed, epoch])
             data_key = jax.random.fold_in(root_key, epoch)
             used = self.schedule.timesteps_for_epoch(
-                epoch, epoch_length, cfg.scheduler_num_scale_timesteps
+                epoch, epoch_total, cfg.scheduler_num_scale_timesteps
             )
             self.timesteps_used_epoch = used
             step_fn = self._get_step_fn(used)
 
             losses = []
             n_batches = self.dataset.num_batches(cfg.batch_size)
+            # mid-epoch resume (a preemption checkpoint): replay the epoch's
+            # key stream without re-training the first resume_step batches —
+            # the shuffle comes from rng(seed, epoch) and the step keys from
+            # the split chain, so the continued run sees exactly the
+            # batches/keys the preempted run never reached; skipped batches
+            # are never materialized (epoch_batches start=)
+            skip = resume_step if epoch == epoch_start else 0
             with trace(cfg.profile_dir if epoch == profile_epoch else None):
-                for i, batch in enumerate(self.dataset.epoch_batches(rng, cfg.batch_size)):
-                    # mid-epoch resume (a preemption checkpoint): replay the
-                    # epoch's key stream without re-training the first
-                    # resume_step batches — the shuffle comes from
-                    # rng(seed, epoch) and the step keys from the split chain,
-                    # so the continued run sees exactly the batches/keys the
-                    # preempted run never reached
+                for i, batch in enumerate(
+                    self.dataset.epoch_batches(rng, cfg.batch_size, start=skip)
+                ):
                     data_key, step_key = jax.random.split(data_key)
-                    if epoch == epoch_start and i < resume_step:
+                    if batch is None:
                         continue
                     self.state, metrics = step_fn(
                         self.state, self._put_batch(batch), step_key
@@ -398,8 +408,12 @@ class Trainer:
 
     def _on_save_cadence(self, epoch: int, epoch_start: int, epoch_length: int) -> bool:
         cfg = self.cfg
-        # trainer_masked_mean_shift.py:252 cadence expression
-        scale_period = max(1, int(epoch_length / max(1, cfg.scheduler_num_scale_timesteps)))
+        # trainer_masked_mean_shift.py:252 cadence expression; scale_period
+        # derives from the CONFIGURED total epoch count so resumed runs keep
+        # the uninterrupted run's cadence; the loop's own last epoch always
+        # saves so shortened runs leave a resumable checkpoint
+        epoch_total = max(cfg.num_epochs, epoch_start + epoch_length)
+        scale_period = max(1, int(epoch_total / max(1, cfg.scheduler_num_scale_timesteps)))
         return (
             (epoch > 0 and (epoch + 1) % cfg.save_images_epochs == 0)
             or epoch == (epoch_start + epoch_length - 1)

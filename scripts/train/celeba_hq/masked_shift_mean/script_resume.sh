@@ -42,6 +42,8 @@ python -m masked_diffusion_tpu.cli.main_train_masked \
     --output_dir "$MDT_CHECKPOINT_DIR" \
     --mixed_precision "${MDT_MIXED_PRECISION:-bf16}" \
     --mesh_data "${MDT_MESH_DATA:--1}" \
+    --mesh_model "${MDT_MESH_MODEL:-1}" \
+    --tp_min_features "${MDT_TP_MIN_FEATURES:-256}" \
     --multihost "${MDT_MULTIHOST:-False}" \
     --use_wandb "${MDT_USE_WANDB:-False}" \
     --use_mlflow False

@@ -94,6 +94,11 @@ class TestTrainerResumeEquivalence:
             lr_scheduler="constant", lr_warmup_steps=0, sample_num=2,
             sample_latent_shape="zero", save_images_epochs=100,
             use_wandb=False, block_out_channels=(8, 16), layers_per_block=1,
+            # scale > 1 makes the per-epoch timestep curriculum depend on the
+            # TOTAL epoch count — a resumed run that derived its curriculum
+            # from the remaining-epoch loop length would train a different
+            # step program and fail the bitwise comparison below
+            scheduler_num_scale_timesteps=2,
         )
         dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=16)
 
@@ -175,6 +180,10 @@ class TestMidEpochPreemptionResume:
 
         t_pre = Trainer(cfg, dataset)
         dirs_pre = dirs_for("pre")
+        # a no-op outer handler closes the race where the timer fires AFTER
+        # train() restored the previous handler but BEFORE killer.cancel() —
+        # with the default handler that window would kill the pytest process
+        outer = signal.signal(signal.SIGTERM, lambda *_: None)
         # fires during the first epoch's compile -> break after an early step
         killer = threading.Timer(2.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
         killer.start()
@@ -182,6 +191,7 @@ class TestMidEpochPreemptionResume:
             t_pre.train(0, total_epochs, dirs=dirs_pre)
         finally:
             killer.cancel()
+            signal.signal(signal.SIGTERM, outer)
         gs_pre = t_pre.global_step
         if gs_pre >= total_epochs * spe:
             pytest.skip("run finished before SIGTERM landed")

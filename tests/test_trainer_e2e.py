@@ -168,12 +168,21 @@ def test_sigterm_saves_resumable_checkpoint(tmp_path):
                dir_dataset="", data_name="synthetic", data_set="train",
                data_size=8, method="base", title="t")
 
+    # no-op outer handler: if the timer fires after train() restored the
+    # previous handler but before killer.cancel(), the default handler would
+    # kill the whole pytest process
+    def _noop(*_):
+        pass
+
+    outer = signal.signal(signal.SIGTERM, _noop)
     killer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
     killer.start()
     try:
         trainer.train(0, cfg.num_epochs, dirs=dirs)  # returns, doesn't die
     finally:
         killer.cancel()
+        restored = signal.getsignal(signal.SIGTERM)
+        signal.signal(signal.SIGTERM, outer)
 
     ckpts = sorted(os.listdir(dirs.list_dir["checkpoint"]))
     assert ckpts, "no preemption checkpoint written"
@@ -181,8 +190,8 @@ def test_sigterm_saves_resumable_checkpoint(tmp_path):
         meta = json.load(f)
     assert meta.get("preempted") is True
     assert meta["global_step"] == trainer.global_step > 0
-    # the handler is restored after train()
-    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    # train() restored the handler it found installed (the no-op outer one)
+    assert restored is _noop
 
 
 def test_trajectory_grids_saved(tmp_path):

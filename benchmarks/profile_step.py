@@ -77,9 +77,14 @@ def main():
     from masked_diffusion_tpu.ops.schedule import build_schedule
     from masked_diffusion_tpu.sample import make_sample_fn
 
-    batch, size, steps = 64, 64, 8
+    batch = int(os.environ.get("PROF_BATCH", 64))
+    size = int(os.environ.get("PROF_SIZE", 64))
+    steps = int(os.environ.get("PROF_STEPS", 8))
     # PROF_SELECT=indexing PROF_SCHEDULE=log profiles the reference-default
-    # degrade mode (integer-count masks, main_train_masked.py:395)
+    # degrade mode (integer-count masks, main_train_masked.py:395);
+    # PROF_SIZE/PROF_BATCH explore other workload shapes (e.g. 256x256 where
+    # the pallas kmask kernel's O(32*HW) scan should beat the O(HW log HW)
+    # sort — set MDT_PALLAS_KMASK=1 for the B arm)
     select = os.environ.get("PROF_SELECT", "thresholding")
     sched_name = os.environ.get("PROF_SCHEDULE", "linear")
     cfg = Config(

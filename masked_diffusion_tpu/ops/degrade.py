@@ -132,17 +132,29 @@ def nested_threshold_masks(
     return mask_a, mask_b
 
 
-def _use_pallas_kmask() -> bool:
-    """Opt-in TPU kernel for the indexing path (MDT_PALLAS_KMASK=1).
+# image area at/above which the pallas kernel beats the XLA sort (v5e,
+# in-loop): 64^2 (hw=4096) kernel LOSES 14.62 vs 14.29 ms/step; 256^2
+# (hw=65536, batch 4, log/indexing) kernel WINS 55.13 vs 56.37 ms/step —
+# sort grows O(HW log HW), the 32-pass bit-scan O(32*HW)
+_PALLAS_KMASK_MIN_HW = 65536
 
-    Measured on v5e at the flagship sampling shape (batch 64, 64x64, T=4096
-    log/indexing): standalone 1.92 ms pallas vs 1.84 ms argsort (0.96x), and
-    no in-loop win inside the sampling scan — XLA overlaps the small (64,4096)
-    sorts well. Kept opt-in for larger images where sort cost grows
-    O(HW log HW) while the kernel's bit-scan stays O(32·HW)."""
+
+def _use_pallas_kmask(hw: int) -> bool:
+    """TPU kernel for the indexing path: auto-on at large images (see
+    _PALLAS_KMASK_MIN_HW measurements), forced with MDT_PALLAS_KMASK=1/0.
+
+    At the flagship 64x64 shape the XLA sort wins (standalone 1.92 ms pallas
+    vs 1.84 ms; in-loop 14.62 vs 14.29 ms/step — XLA overlaps the small
+    (64,4096) sorts well); at 256x256 the kernel wins by ~1.2 ms/step. The
+    kernel draws TPU-PRNG bits, so masks are distribution-identical but not
+    stream-equal to the jax.random path (same-backend runs stay seed-
+    deterministic)."""
     import os
 
-    if os.environ.get("MDT_PALLAS_KMASK", "0").lower() not in ("1", "true"):
+    env = os.environ.get("MDT_PALLAS_KMASK", "").lower()
+    if env in ("0", "false"):
+        return False
+    if env not in ("1", "true") and hw < _PALLAS_KMASK_MIN_HW:
         return False
     import jax
 
@@ -159,7 +171,7 @@ def generate_masks(
     """Dispatch mask generation; returns masks broadcast to img's shape."""
     b, h, w, c = img.shape
     if select_degrade_pixel == "indexing":
-        if _use_pallas_kmask():
+        if _use_pallas_kmask(h * w):
             from masked_diffusion_tpu.ops.pallas.kmask import exact_count_masks_pallas
 
             masks = exact_count_masks_pallas(key, b, h, w, amount)

@@ -133,10 +133,11 @@ def nested_threshold_masks(
 
 
 # image area at/above which the pallas kernel beats the XLA sort (v5e,
-# in-loop): 64^2 (hw=4096) kernel LOSES 14.62 vs 14.29 ms/step; 256^2
-# (hw=65536, batch 4, log/indexing) kernel WINS 55.13 vs 56.37 ms/step —
-# sort grows O(HW log HW), the 32-pass bit-scan O(32*HW)
-_PALLAS_KMASK_MIN_HW = 65536
+# in-loop, log/indexing): 64^2 (hw=4096) kernel LOSES 14.62 vs 14.29
+# ms/step; 128^2 (hw=16384, batch 8) WINS 7.17 vs 7.32; 256^2 (hw=65536,
+# batch 4) WINS 55.13 vs 56.37 — sort grows O(HW log HW), the 32-pass
+# bit-scan O(32*HW); crossover sits between 4096 and 16384
+_PALLAS_KMASK_MIN_HW = 16384
 
 
 def _use_pallas_kmask(hw: int) -> bool:

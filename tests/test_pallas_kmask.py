@@ -46,3 +46,31 @@ class TestGreedyThreshold:
         k = 8 * 12  # every real slot
         t = np.uint32(greedy_kth_threshold(jnp.asarray(s), jnp.int32(k)))
         assert int((s < t).sum()) == k
+
+
+class TestAutoOnGating:
+    """_use_pallas_kmask: auto-on at hw >= 16384 on TPU only (measured
+    crossover, docs/PERFORMANCE.md); MDT_PALLAS_KMASK=1/0 forces."""
+
+    def test_cpu_backend_never_uses_kernel(self, monkeypatch):
+        from masked_diffusion_tpu.ops.degrade import _use_pallas_kmask
+
+        # tests run on the CPU backend: even forced-on or above-threshold
+        # shapes stay on the XLA path
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
+        assert _use_pallas_kmask(1 << 20) is False
+
+    def test_env_and_threshold_logic(self, monkeypatch):
+        import masked_diffusion_tpu.ops.degrade as degrade_mod
+
+        # isolate the pure gating logic from the backend check
+        monkeypatch.setattr(
+            "jax.default_backend", lambda: "tpu", raising=True
+        )
+        monkeypatch.delenv("MDT_PALLAS_KMASK", raising=False)
+        assert degrade_mod._use_pallas_kmask(128 * 128) is True
+        assert degrade_mod._use_pallas_kmask(64 * 64) is False
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "0")
+        assert degrade_mod._use_pallas_kmask(128 * 128) is False
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
+        assert degrade_mod._use_pallas_kmask(64 * 64) is True

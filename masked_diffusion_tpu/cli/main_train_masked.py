@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--layers_per_block", type=int, default=2)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument(
+        "--keep_last_checkpoints", type=int, default=0,
+        help="keep only the N newest checkpoint-epoch-* dirs (0 = keep all, "
+        "the reference behavior)",
+    )
     return p
 
 

@@ -105,6 +105,10 @@ class Config:
     block_out_channels: Optional[tuple] = None  # override UNet widths (tests/bench)
     layers_per_block: int = 2
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # checkpoint retention: keep only the N newest checkpoint-epoch-* dirs
+    # (0 = keep all, the reference behavior — its cadence saves accumulate
+    # unboundedly, trainer_masked_mean_shift.py:268-269)
+    keep_last_checkpoints: int = 0
 
     # ------------------------------------------------------------------ helpers
     @property
@@ -132,6 +136,43 @@ class Config:
         with open(filename, "w") as f:
             json.dump(self.to_dict(), f, indent=2, default=str)
         return filename
+
+
+def validate_sampling_modes(cfg) -> None:
+    """Reject selection x dependency couplings that the reference leaves as
+    silent crashes or garbage.
+
+    * dependent_t masks come from one shared uniform field thresholded at two
+      ratio levels (degrade_dependent_base_sampling) — the reference's
+      'indexing' branch there is a bare `pass` that crashes on undefined
+      masks_t (scheduler.py:491-492). Feeding integer pixel COUNTS into the
+      `u > amount` threshold instead would yield all-zero masks and mean-fill
+      every step without an error, so the combination is rejected up front.
+    * interpolation sampling ratio-thresholds its shared mask the same way
+      (degrade_interpolation_sampling / scheduler.py:552-569) and has no
+      indexing branch at all.
+
+    Called from Trainer.__init__, make_sample_fn, and
+    make_interpolation_sample_fn so invalid runs fail at build time, not at
+    the first save cadence hours into training.
+    """
+    if cfg.select_degrade_pixel != "indexing":
+        return
+    if cfg.sampling_mask_dependency == "dependent_t":
+        raise ValueError(
+            "sampling_mask_dependency='dependent_t' requires "
+            "select_degrade_pixel='thresholding': dependent_t thresholds one "
+            "shared uniform field at two ratio levels; the reference's "
+            "'indexing' branch is an unimplemented `pass` that crashes "
+            "(scheduler.py:491-492). Use 'thresholding', or an independent/"
+            "dependent_prev mask dependency."
+        )
+    if getattr(cfg, "interpolation_shift", None) is not None:
+        raise ValueError(
+            "interpolation sampling requires select_degrade_pixel="
+            "'thresholding': its shared batch mask is a uniform-vs-ratio "
+            "threshold (scheduler.py:552-569) with no indexing variant."
+        )
 
 
 def parse_mean_option(mean_option: Any):

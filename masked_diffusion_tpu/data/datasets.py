@@ -11,7 +11,11 @@ Dataset families (utils/mydataset.py:63-210):
                accepts .gz) — no torchvision dependency.
   cifar10    : python pickles under {path}/CIFAR/cifar-10-batches-py.
   imagefolder: recursive PIL scan — covers celeba_hq / afhqv2 / metfaces /
-               stanfordcars / flowers102 / lsun directory layouts.
+               stanfordcars / flowers102 directory layouts.
+  lsun       : native LMDB archives ({path}/lsun/<class>_lmdb, the
+               torchvision-LSUN layout, mydataset.py:132-141) via the
+               pure-Python reader in data/lmdb_reader.py; an exported-images
+               directory falls back to the ImageFolder scan.
   synthetic  : deterministic procedural images (gaussian blobs), used by the
                test-suite and benchmarks; no files needed.
 
@@ -188,6 +192,51 @@ def load_image_folder(root: str, limit: Optional[int] = None) -> Tuple[list, np.
         [cls_idx[os.path.relpath(p, root).split(os.sep)[0]] for p in paths], dtype=np.int64
     )
     return paths, labels
+
+
+# torchvision LSUN's split -> lmdb class mapping as the reference uses it
+# (mydataset.py:132-141: church/bedroom/tower -> <class>_train)
+_LSUN_CLASSES = {
+    "church": "church_outdoor_train",
+    "bedroom": "bedroom_train",
+    "tower": "tower_train",
+}
+
+
+def load_lsun(
+    path: str, split: str, size: int, limit: Optional[int] = None
+) -> np.ndarray:
+    """Load an LSUN LMDB archive (reference mydataset.py:132-141 semantics:
+    split in {church, bedroom, tower} -> <path>/<class>_lmdb/data.mdb) via
+    the pure-Python reader in data/lmdb_reader.py. Values are JPEG/WebP
+    bytes; decoded + resize/center-cropped like every other image family.
+    Falls back to the torchvision directory layout `<path>/<class>_lmdb`.
+    """
+    import io as _io
+
+    from masked_diffusion_tpu.data.lmdb_reader import LMDBReader
+
+    if not _HAS_PIL:
+        raise RuntimeError("PIL required for LSUN decoding")
+    cls = _LSUN_CLASSES.get(split, split if split.endswith("_train") else None)
+    if cls is None:
+        raise ValueError(
+            f"unknown LSUN split {split!r} (expected church/bedroom/tower or "
+            f"an explicit <class>_train name)"
+        )
+    env_dir = os.path.join(path, f"{cls}_lmdb")
+    imgs = []
+    with LMDBReader(env_dir) as reader:
+        for _key, val in reader.items():
+            img = np.asarray(
+                Image.open(_io.BytesIO(val)).convert("RGB"), dtype=np.uint8
+            )
+            imgs.append(resize_center_crop(img, size))
+            if limit is not None and len(imgs) >= limit:
+                break
+    if not imgs:
+        raise FileNotFoundError(f"no images in {env_dir}")
+    return np.stack(imgs)
 
 
 def make_synthetic(
@@ -419,6 +468,15 @@ def get_dataset(
         if data_subset and num_data:
             raw, labels = raw[:num_data], labels[:num_data]
         imgs = _preprocess_uniform_batch(raw, size)
+    elif name_l == "lsun" and os.path.isdir(
+        os.path.join(path, name_l, f"{_LSUN_CLASSES.get(split, split)}_lmdb")
+    ):
+        # native LMDB archives (the torchvision-LSUN layout the reference
+        # reads, mydataset.py:132-141); an exported-images directory still
+        # falls through to the ImageFolder scan below
+        limit = num_data if (data_subset and num_data) else None
+        imgs = load_lsun(os.path.join(path, name_l), split, size, limit)
+        labels = np.zeros(len(imgs), dtype=np.int64)
     else:
         # ImageFolder-style datasets: celeba_hq/{split}, afhqv2/{split},
         # metfaces, stanfordcars, flowers102, lsun (mydataset.py:118-199)

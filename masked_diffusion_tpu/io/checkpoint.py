@@ -22,10 +22,6 @@ import orbax.checkpoint as ocp
 _CKPT_RE = re.compile(r"checkpoint-(?:epoch-)?(\d+)$")
 
 
-def _ckpt(path: str) -> ocp.StandardCheckpointer:
-    return ocp.StandardCheckpointer()
-
-
 def save_checkpoint(
     checkpoint_dir: str,
     epoch: int,
@@ -35,6 +31,7 @@ def save_checkpoint(
     opt_state: Optional[Any] = None,
     extra_meta: Optional[dict] = None,
     history: Optional[dict] = None,
+    keep_last: int = 0,
 ) -> str:
     """Write checkpoint-epoch-{epoch}/ under checkpoint_dir.
 
@@ -42,6 +39,12 @@ def save_checkpoint(
     history.npz so a resumed run continues its loss/lr curves instead of
     restarting them — the analog of the lr-scheduler state accelerate's
     load_state restores (main_train_masked.py:195-225).
+
+    `keep_last` > 0 prunes older checkpoint-* dirs after a successful save,
+    keeping the newest N (by epoch suffix). Default 0 keeps everything — the
+    reference's behavior (its cadence saves accumulate unboundedly,
+    trainer_masked_mean_shift.py:268-269); the knob exists because a 50k-epoch
+    workload otherwise writes thousands of ~GB checkpoints.
     """
     from masked_diffusion_tpu.utils.host import is_main_process
 
@@ -68,7 +71,26 @@ def save_checkpoint(
                 os.path.join(path, "history.npz"),
                 **{k: np.asarray(v) for k, v in history.items()},
             )
+        if keep_last and keep_last > 0:
+            _prune_checkpoints(checkpoint_dir, keep_last)
     return path
+
+
+def _prune_checkpoints(checkpoint_dir: str, keep_last: int) -> None:
+    """Delete all but the newest keep_last checkpoint-* dirs (by epoch
+    suffix). Runs on process 0 only, after the new checkpoint is fully
+    written, so a crash mid-prune can only leave extra checkpoints behind."""
+    import shutil
+
+    cands = []
+    for d in os.listdir(checkpoint_dir):
+        m = _CKPT_RE.search(d)
+        full = os.path.join(checkpoint_dir, d)
+        if m and os.path.isdir(full):
+            cands.append((int(m.group(1)), full))
+    cands.sort()
+    for _, stale in cands[:-keep_last]:
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def load_checkpoint(

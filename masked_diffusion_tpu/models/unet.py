@@ -16,9 +16,10 @@ TPU notes:
   * `dtype` is the compute/activation dtype (bfloat16 for MXU throughput);
     `param_dtype` stays float32. flax modules cast per-op.
   * attention is a batched einsum; at the reference's resolutions the
-    sequence is ≤ HW = 4096 tokens so XLA's fused attention is sufficient,
-    with a Pallas flash-attention kernel as the opt-in fast path
-    (ops/pallas/attention.py).
+    sequence is ≤ HW = 4096 tokens (attention sits at the downsampled
+    levels) so the full score matrix fits in VMEM-friendly tiles and XLA's
+    fused attention is the measured-fastest path (see docs/PERFORMANCE.md
+    "pallas verdicts" for the flash-attention measurement).
 """
 
 from __future__ import annotations

@@ -149,16 +149,23 @@ def _use_pallas_kmask(hw: int) -> bool:
     (64,4096) sorts well); at 256x256 the kernel wins by ~1.2 ms/step. The
     kernel draws TPU-PRNG bits, so masks are distribution-identical but not
     stream-equal to the jax.random path (same-backend runs stay seed-
-    deterministic)."""
+    deterministic).
+
+    Auto-on additionally requires a SINGLE visible device: pallas_call has no
+    GSPMD partitioning rule, so under a multi-chip mesh with the batch
+    sharded over 'data' XLA must replicate the call (all-gathering the batch,
+    negating the measured ~1 ms win). The measured wins are single-chip;
+    MDT_PALLAS_KMASK=1 still forces it for callers who wrap it in shard_map
+    themselves."""
     import os
 
     env = os.environ.get("MDT_PALLAS_KMASK", "").lower()
     if env in ("0", "false"):
         return False
-    if env not in ("1", "true") and hw < _PALLAS_KMASK_MIN_HW:
+    if env not in ("1", "true") and (
+        hw < _PALLAS_KMASK_MIN_HW or jax.device_count() > 1
+    ):
         return False
-    import jax
-
     return jax.default_backend() == "tpu"
 
 

@@ -56,7 +56,10 @@ def greedy_kth_threshold(s, k):
 
 def _kmask_kernel(counts_ref, seed_ref, out_ref, *, hw_pad: int, hw: int):
     img = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], img)
+    # both 32-bit words of the jax key feed the seed: a single int31 seed
+    # collides between distinct keys at ~n^2/2^32 — hundreds of whole-batch
+    # mask-pattern reuses over a ~1e6-step run; two words push that to ~2^-64
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], img)
 
     cols = hw_pad // _ROWS
     s = pltpu.prng_random_bits((_ROWS, cols))
@@ -84,7 +87,14 @@ def exact_count_masks_pallas(
     hw_pad = -(-hw // (128 * _ROWS)) * (128 * _ROWS)
     cols = hw_pad // _ROWS
 
-    seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32)
+    # seed with the key's raw 32-bit words (not one drawn int31 — see kernel)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        raw = jax.random.key_data(key)
+    else:
+        raw = key
+    seed = jax.lax.bitcast_convert_type(
+        jnp.asarray(raw, dtype=jnp.uint32).reshape(-1)[:2], jnp.int32
+    )
     counts = jnp.asarray(counts, dtype=jnp.int32).reshape(batch)
 
     out = pl.pallas_call(

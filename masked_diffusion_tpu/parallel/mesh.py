@@ -63,7 +63,14 @@ def make_mesh(
         data = n // model
     if data * model < n:
         # an explicit smaller topology runs on a prefix of the devices
-        # (sharing a host with other jobs, or testing small meshes)
+        # (sharing a host with other jobs, or testing small meshes) — but say
+        # so loudly: a typo'd topology silently training on fewer chips is
+        # how a pod run loses 7/8ths of its throughput
+        print(
+            f"WARNING: mesh {data}x{model} uses only {data * model} of "
+            f"{n} visible devices ({n - data * model} idle)",
+            flush=True,
+        )
         devices = devices[: data * model]
         n = len(devices)
     if data * model != n:

@@ -89,16 +89,20 @@ def generate_images(
     elapsed = time.perf_counter() - t0
     images = np.concatenate(chunks, axis=0)[:num]
 
-    # steady-state throughput: exclude the compile batch when there is more
-    # than one batch, else report the conservative all-in figure
+    # steady-state throughput over REAL (unpadded) images: exclude the compile
+    # batch when there is more than one batch, else the conservative all-in
+    # figure; the mesh round-up padding never counts
     if n_batches > 1:
-        ips = (n_batches - 1) * batch / max(elapsed - t_first, 1e-9)
+        ips = (num - min(batch, num)) / max(elapsed - t_first, 1e-9)
     else:
         ips = num / max(elapsed, 1e-9)
 
     if out_dir is not None:
         for b, chunk in enumerate(chunks):
-            save_image_grid(chunk, "image", out_dir, f"sample_grid_{b:04d}.png")
+            # trim the final chunk so mesh-padding images are not rendered
+            real = chunk[: max(0, num - b * batch)]
+            if len(real):
+                save_image_grid(real, "image", out_dir, f"sample_grid_{b:04d}.png")
         if save_individual:
             # normalize01 is per-image over axis 0, so normalize the batch
             # once and index into it

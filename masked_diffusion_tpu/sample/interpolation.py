@@ -29,8 +29,16 @@ def make_interpolation_sample_fn(
     used_timesteps: np.ndarray,
     interpolation_shift: float,
     compute_dtype=None,
+    mesh_plan=None,
 ) -> Callable:
-    """Build sample(params, key) -> (sample_0, mu)."""
+    """Build sample(params, key) -> (sample_0, mu).
+
+    With a mesh_plan, the latent grid is padded (repeating the last grid
+    point) to a multiple of the mesh's data size and committed onto the batch
+    sharding — matching generate_images' placement (sample/generate.py:54-56,
+    82-83) so the cadence scan shards over chips instead of leaving a 100-row
+    uncommitted host array to GSPMD; the returned sample is trimmed back.
+    """
     used = np.asarray(used_timesteps, dtype=np.int32)
     n_steps = int(len(used))
     ts_dev = jnp.asarray(used)
@@ -42,10 +50,24 @@ def make_interpolation_sample_fn(
         raise ValueError(
             f"momentum_adaptive {rule!r} unsupported for interpolation sampling"
         )
+    # interpolation masks are ratio thresholds; 'indexing' counts would make
+    # them garbage (config.py:validate_sampling_modes)
+    from masked_diffusion_tpu.config import validate_sampling_modes
 
+    validate_sampling_modes(cfg)
+
+    num = cfg.sample_num
     latent, mu = latent_initial_interpolation(
-        cfg.sample_num, cfg.out_channel, cfg.data_size, interpolation_shift
+        num, cfg.out_channel, cfg.data_size, interpolation_shift
     )
+    if mesh_plan is not None:
+        mult = mesh_plan.data_size
+        if num % mult:
+            pad = mult - num % mult
+            latent = jnp.concatenate([latent, jnp.repeat(latent[-1:], pad, axis=0)])
+            mu = jnp.concatenate([mu, jnp.repeat(mu[-1:], pad, axis=0)])
+        latent = jax.device_put(latent, mesh_plan.batch_sharding)
+        mu = jax.device_put(mu, mesh_plan.batch_sharding)
 
     def sample_impl(params, key):
         def body(carry, i):
@@ -96,6 +118,7 @@ def make_interpolation_sample_fn(
         carry = (latent, zeros, zeros, zeros, key)
         idx = jnp.arange(n_steps - 1, -1, -1)
         carry, _ = jax.lax.scan(body, carry, idx)
-        return carry[1], mu
+        # trim mesh padding back to the requested grid
+        return carry[1][:num], mu[:num]
 
     return jax.jit(sample_impl)

@@ -70,6 +70,11 @@ def make_sample_fn(
         raise ValueError(f"unknown sampling_mask_dependency: {dependency!r}")
     if rule not in ("base_sampling", "base_momentum", "momentum", "boosting"):
         raise ValueError(f"unknown momentum_adaptive: {rule!r}")
+    # dependent_t x indexing would silently mean-fill everything (config.py:
+    # validate_sampling_modes; the reference crashes, scheduler.py:491-492)
+    from masked_diffusion_tpu.config import validate_sampling_modes
+
+    validate_sampling_modes(cfg)
 
     degrade_independent = partial(
         degrade_ops.degrade_independent_base_sampling,

@@ -86,6 +86,13 @@ class Trainer:
         self.mesh_plan = mesh_plan
         self.visualizer = visualizer
 
+        # fail on silently-broken mode couplings (dependent_t x indexing,
+        # interpolation x indexing) at construction, not at the first save
+        # cadence hours into the run (config.py:validate_sampling_modes)
+        from masked_diffusion_tpu.config import validate_sampling_modes
+
+        validate_sampling_modes(cfg)
+
         self.schedule = schedule or build_schedule(
             cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
             cfg.select_degrade_pixel, cfg.ddpm_schedule_base,
@@ -343,6 +350,7 @@ class Trainer:
                             "loss_mean_epoch": self.loss_mean_epoch,
                             "lr_list": self.lr_list,
                         },
+                        keep_last=cfg.keep_last_checkpoints,
                     )
                 print(
                     f"SIGTERM: resumable checkpoint saved at epoch {epoch} "
@@ -402,6 +410,9 @@ class Trainer:
                             "loss_mean_epoch": self.loss_mean_epoch,
                             "lr_list": self.lr_list,
                         },
+                        # opt-in retention; the non-finite post-mortem save
+                        # above never prunes (forensic state stays put)
+                        keep_last=cfg.keep_last_checkpoints,
                     )
 
         return last_metrics
@@ -473,6 +484,8 @@ class Trainer:
             return
         visuals_fn = self._get_visuals_fn(used)
         out = visuals_fn(self.state.params, self._put_batch(self._last_batch), key)
+        # collective fetch of every rendered tensor before the p0 gate
+        out = {name: host.fetch(tensor) for name, tensor in out.items()}
         if not host.is_main_process():
             return  # compute was collective; writes are process-0-only
         display = {}
@@ -480,7 +493,7 @@ class Trainer:
             d = dirs.list_dir.get(self._VISUAL_DIRS.get(name, "img"))
             if d is None or not os.path.isdir(d):
                 continue
-            arr = np.asarray(tensor)
+            arr = tensor
             g_global = save_image_grid(arr, "global", d, f"{name}_{epoch:05d}_global.png")
             g_local = save_image_grid(arr, "image", d, f"{name}_{epoch:05d}_local.png")
             display[f"{name}_normalize_global"] = g_global
@@ -488,10 +501,31 @@ class Trainer:
         if visualizer is not None and display:
             visualizer.display_current_results(epoch, display)
 
+    def _cadence_latent(self, key, num: int):
+        """Latent batch for cadence sampling, mesh-correct: rounded up to a
+        multiple of the mesh's data size and committed onto the batch
+        sharding — the same placement generate_images gives its latents
+        (sample/generate.py:54-56,82-83). Without this, a default
+        sample_num=100 on an 8-way mesh is an uncommitted host array whose
+        placement is left to GSPMD. Returns (latent, real_num)."""
+        padded = num
+        if self.mesh_plan is not None:
+            mult = self.mesh_plan.data_size
+            padded = -(-num // mult) * mult
+        latent = latent_initial(
+            key, padded, self.cfg.out_channel, self.cfg.data_size,
+            self.cfg.sample_latent_shape, self.cfg.mean_area, self.dataset_hist,
+        )
+        if self.mesh_plan is not None:
+            latent = jax.device_put(latent, self.mesh_plan.batch_sharding)
+        return latent, num
+
     def sample_ema(
         self, key, sample_num: Optional[int] = None, capture: Optional[bool] = None
     ):
-        """Sample with EMA params (no parameter swapping needed)."""
+        """Sample with EMA params (no parameter swapping needed). The result
+        batch is trimmed back to the requested sample_num after any mesh
+        padding (trajectory ys are item-sliced in-scan and unaffected)."""
         cfg = self.cfg
         used = self.timesteps_used_epoch
         if used is None:
@@ -500,12 +534,12 @@ class Trainer:
             )
         sample_fn = self._get_sample_fn(used, capture)
         k_lat, k_samp = jax.random.split(key)
-        latent = latent_initial(
-            k_lat, sample_num or cfg.sample_num, cfg.out_channel, cfg.data_size,
-            cfg.sample_latent_shape, cfg.mean_area, self.dataset_hist,
-        )
+        latent, num = self._cadence_latent(k_lat, sample_num or cfg.sample_num)
         params = self.state.ema_params if cfg.use_ema else self.state.params
-        return sample_fn(params, latent, k_samp)
+        out = sample_fn(params, latent, k_samp)
+        if isinstance(out, tuple):
+            return out[0][:num], out[1]
+        return out[:num]
 
     def _save_ema_momentum_sample(self, dirs, epoch: int, visualizer=None) -> None:
         """EMA sampling + global/local grids
@@ -513,13 +547,17 @@ class Trainer:
         per-item step trajectories also land in sample_all_t (the reference's
         visual_list grids, sampler.py:390-417)."""
         out = self.sample_ema(jax.random.PRNGKey(self.cfg.seed + epoch))
+        # host.fetch is collective on multi-host (allgather) — fetch BEFORE
+        # the process-0 gate, write after
+        if isinstance(out, tuple):
+            sample = host.fetch(out[0])
+            traj_np = self._fetch_trajectory(out[1])
+        else:
+            sample, traj_np = host.fetch(out), None
         if not host.is_main_process():
             return  # the sampling scan was collective; writes are p0-only
-        if isinstance(out, tuple):
-            sample, trajectory = np.asarray(out[0]), out[1]
-            self._save_trajectory_grids(dirs, epoch, trajectory)
-        else:
-            sample = np.asarray(out)
+        if traj_np is not None:
+            self._save_trajectory_grids(dirs, epoch, traj_np)
         d = dirs.list_dir["ema_sample_img"]
         g_global = save_image_grid(
             sample, "global", d, f"ema_sample_{epoch:05d}_global.png"
@@ -536,23 +574,27 @@ class Trainer:
                 },
             )
 
+    def _fetch_trajectory(self, trajectory: dict, n_items: int = 4) -> dict:
+        """Collective host fetch of the trajectory image buffers, sliced to
+        the first n_items on-device BEFORE transfer: the full trajectory is
+        (T, N, H, W, C) — ~3GB at the flagship config — and only n_items are
+        ever rendered. Returns {field: (n_items, T, H, W, C) numpy}."""
+        out = {}
+        for key, buf in trajectory.items():
+            if key == "means":  # per-step scalars, not an image buffer
+                continue
+            out[key] = host.fetch(buf[:, :n_items]).transpose(1, 0, 2, 3, 4)
+        return out
+
     def _save_trajectory_grids(self, dirs, epoch: int, trajectory: dict) -> None:
         """One per-item grid over timesteps for EVERY captured field — the
         reference's visual_list covers all 11 buffers (sampler.py:116-126,
         390-417); the ys are already paid for in HBM so render them all.
-        Scan ys are (T, N, H, W, C); transpose to (N, T, ...) for the
-        multi-index grid."""
+        Takes the numpy dict from _fetch_trajectory (process 0 only)."""
         from masked_diffusion_tpu.utils.grids import save_multi_index_image_grid, save_png
 
         d = dirs.list_dir["sample_all_t"]
-        n_items = 4
-        for key, buf in trajectory.items():
-            if key == "means":  # per-step scalars, not an image buffer
-                continue
-            # slice items on-device BEFORE transfer: the full trajectory is
-            # (T, N, H, W, C) — ~3GB at the flagship config — and only
-            # n_items are rendered
-            traj = np.asarray(buf[:, :n_items]).transpose(1, 0, 2, 3, 4)
+        for key, traj in trajectory.items():
             grids = save_multi_index_image_grid(traj, normalization="image")
             for i, g in enumerate(grids):
                 save_png(
@@ -570,11 +612,12 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.seed + epoch), capture=True
         )
         sample, trajectory = out
-        if not host.is_main_process():
-            return  # the sampling scan was collective; writes are p0-only
         # full-batch trajectory means carried as per-step scalars by the scan
         # (loop.py 'means' ys) — NOT from the capture_items-sliced image
-        # buffers, which would make the logged statistic cover only 4 samples
+        # buffers, which would make the logged statistic cover only 4 samples.
+        # All of this (the means reductions, the trajectory fetch, the sample
+        # fetch) runs on EVERY process — eager ops/fetches on sharded global
+        # arrays are collective; only the writes below are process-0-gated.
         m = trajectory["means"]
         means = {
             "ema_sample_mean": float(jnp.mean(sample)),
@@ -583,8 +626,11 @@ class Trainer:
             "ema_sample_shift_t_mean": float(jnp.mean(m["shifted"])),
             "ema_sample_0_shift_mean": float(jnp.mean(m["shifted_result"])),
         }
-        self._save_trajectory_grids(dirs, epoch, trajectory)
-        sample = np.asarray(sample)
+        traj_np = self._fetch_trajectory(trajectory)
+        sample = host.fetch(sample)
+        if not host.is_main_process():
+            return  # the sampling scan was collective; writes are p0-only
+        self._save_trajectory_grids(dirs, epoch, traj_np)
         d = dirs.list_dir["ema_sample_img"]
         g_global = save_image_grid(
             sample, "global", d, f"ema_sample_{epoch:05d}_global.png"
@@ -617,15 +663,16 @@ class Trainer:
         key = (tuple(int(t) for t in used), float(cfg.interpolation_shift))
         if key not in self._interp_cache:
             self._interp_cache[key] = make_interpolation_sample_fn(
-                self.model, self.schedule, cfg, used, float(cfg.interpolation_shift)
+                self.model, self.schedule, cfg, used,
+                float(cfg.interpolation_shift), mesh_plan=self.mesh_plan,
             )
         params = self.state.ema_params if cfg.use_ema else self.state.params
         sample, _mu = self._interp_cache[key](
             params, jax.random.PRNGKey(cfg.seed + epoch + 1)
         )
+        sample = host.fetch(sample)  # collective; before the p0 gate
         if not host.is_main_process():
             return  # collective compute done; writes are p0-only
-        sample = np.asarray(sample)
         d = dirs.list_dir["ema_sample_img"]
         g = save_image_grid(
             sample, "global", d, f"ema_interpolation_{epoch:05d}.png"

@@ -61,6 +61,23 @@ def any_flag(local: bool) -> bool:
     return bool(np.any(flags))
 
 
+def fetch(x):
+    """Bring a (possibly batch-sharded, possibly non-addressable) global array
+    fully to the host as numpy.
+
+    Single-process: plain np.asarray. Multi-process: the array's shards live
+    on other hosts too, so np.asarray would raise on non-addressable data —
+    allgather it first. COLLECTIVE when multi-process: every process must
+    call it (call before any is_main_process gate, never inside one)."""
+    import numpy as np
+
+    if process_count() <= 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def synced_timestamp() -> Tuple[str, str]:
     """(date, time) strings agreed across hosts: process 0's wall clock,
     broadcast over the mesh when more than one process is live."""

@@ -271,3 +271,40 @@ class TestResumeTraining:
             jax.tree.leaves(s2_direct.ema_params), jax.tree.leaves(s2_resumed.ema_params)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRetention:
+    def test_keep_last_prunes_oldest(self, tmp_path):
+        """keep_last=N retains only the N newest checkpoint-epoch-* dirs;
+        default (0) keeps everything (reference behavior)."""
+        params = _tree(0)
+        for epoch in (1, 3, 5):
+            save_checkpoint(str(tmp_path), epoch, epoch * 10, params)
+        assert len(os.listdir(tmp_path)) == 3
+        save_checkpoint(str(tmp_path), 7, 70, params, keep_last=2)
+        kept = sorted(os.listdir(tmp_path))
+        assert kept == ["checkpoint-epoch-5", "checkpoint-epoch-7"]
+        # the survivors still load
+        restored, _, _, meta = load_checkpoint(
+            os.path.join(tmp_path, "checkpoint-epoch-7"), params
+        )
+        assert meta["epoch"] == 7
+
+    def test_keep_last_zero_keeps_all(self, tmp_path):
+        params = _tree(0)
+        for epoch in (1, 2, 3):
+            save_checkpoint(str(tmp_path), epoch, epoch, params, keep_last=0)
+        assert len(os.listdir(tmp_path)) == 3
+
+
+def test_host_fetch_single_process():
+    """host.fetch is np.asarray single-process (the multi-process allgather
+    branch is exercised by the 2-process integration test)."""
+    import jax.numpy as jnp
+
+    from masked_diffusion_tpu.utils import host
+
+    x = jnp.arange(6.0).reshape(2, 3)
+    out = host.fetch(x)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))

@@ -63,10 +63,9 @@ class TestAutoOnGating:
     def test_env_and_threshold_logic(self, monkeypatch):
         import masked_diffusion_tpu.ops.degrade as degrade_mod
 
-        # isolate the pure gating logic from the backend check
-        monkeypatch.setattr(
-            "jax.default_backend", lambda: "tpu", raising=True
-        )
+        # isolate the pure gating logic from the backend/device checks
+        monkeypatch.setattr("jax.default_backend", lambda: "tpu", raising=True)
+        monkeypatch.setattr("jax.device_count", lambda: 1, raising=True)
         monkeypatch.delenv("MDT_PALLAS_KMASK", raising=False)
         assert degrade_mod._use_pallas_kmask(128 * 128) is True
         assert degrade_mod._use_pallas_kmask(64 * 64) is False
@@ -74,3 +73,15 @@ class TestAutoOnGating:
         assert degrade_mod._use_pallas_kmask(128 * 128) is False
         monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
         assert degrade_mod._use_pallas_kmask(64 * 64) is True
+
+    def test_multi_device_mesh_disables_auto_on(self, monkeypatch):
+        """pallas_call has no GSPMD partitioning rule: auto-on is gated to a
+        single visible device (ADVICE r2); the env override still forces."""
+        import masked_diffusion_tpu.ops.degrade as degrade_mod
+
+        monkeypatch.setattr("jax.default_backend", lambda: "tpu", raising=True)
+        monkeypatch.setattr("jax.device_count", lambda: 8, raising=True)
+        monkeypatch.delenv("MDT_PALLAS_KMASK", raising=False)
+        assert degrade_mod._use_pallas_kmask(128 * 128) is False
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
+        assert degrade_mod._use_pallas_kmask(128 * 128) is True

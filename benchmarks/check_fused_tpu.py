@@ -1,0 +1,163 @@
+"""Measured verdicts for the round-3 Pallas candidates (run on the TPU).
+
+A: fused degrade+update kernel (ops/pallas/fused_degrade.py) vs the XLA
+   degrade pair + update, standalone and inside the full sampling scan, for
+   the headline mode (linear/thresholding) and the reference-default mode
+   (log/indexing).
+B: stock Pallas flash attention vs the materialized-scores einsum at this
+   family's attention shapes (flagship mid/up blocks at 64**2, and the
+   unet6 zoo placements at 128**2 / 256**2).
+
+Prints one JSON line per measurement; paste results into
+docs/PERFORMANCE.md "pallas verdicts".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=20):
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def bench_fused_standalone(size=64, batch=64, select="thresholding"):
+    from masked_diffusion_tpu.ops import degrade as degrade_ops
+    from masked_diffusion_tpu.ops.pallas.fused_degrade import fused_degrade_update
+
+    rng = np.random.default_rng(0)
+    xt = jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32)
+    if select == "thresholding":
+        amt = jnp.full((batch,), 0.6, jnp.float32)
+        amn = jnp.full((batch,), 0.55, jnp.float32)
+    else:
+        amt = jnp.full((batch,), size * size // 2, jnp.float32)
+        amn = jnp.full((batch,), size * size // 2 - 17, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def xla_pair_update(k, s_t, s_0, a_t, a_n):
+        k1, k2 = jax.random.split(k)
+        d_t, _, _ = degrade_ops.degrade_independent_base_sampling(
+            k1, s_0, a_t, select, "1-channel", "degraded_area", "image-wise")
+        d_n, m_n, _ = degrade_ops.degrade_independent_base_sampling(
+            k2, s_0, a_n, select, "1-channel", "degraded_area", "image-wise")
+        return s_t - d_t + d_n, m_n
+
+    def fused(k, s_t, s_0, a_t, a_n):
+        return fused_degrade_update(
+            k, s_t, s_0, a_t, a_n, select=select,
+            mean_mode="degraded_area", rule="base_momentum")
+
+    t_xla = timeit(xla_pair_update, key, xt, x0, amt, amn)
+    t_fused = timeit(fused, key, xt, x0, amt, amn)
+    print(json.dumps({
+        "bench": "fused_degrade_standalone", "size": size, "batch": batch,
+        "select": select, "xla_ms": round(t_xla * 1e3, 3),
+        "fused_ms": round(t_fused * 1e3, 3),
+    }), flush=True)
+
+
+def bench_fused_inloop(size=64, batch=64, schedule="linear",
+                       select="thresholding", steps=200):
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.models import build_unet
+    from masked_diffusion_tpu.ops.schedule import build_schedule
+    from masked_diffusion_tpu.sample import make_sample_fn
+
+    cfg = Config(
+        method="mean_shift", data_size=size, ddpm_schedule=schedule,
+        ddpm_num_steps=steps, select_degrade_pixel=select,
+        degrade_channel="1-channel", mean_option="degraded_area",
+        mean_area="image-wise", shift_type="1-d_constant",
+        momentum_adaptive="base_momentum",
+        sampling_mask_dependency="independent", mixed_precision="bf16",
+    )
+    sched = build_schedule(schedule, steps, size, select)
+    used = sched.timesteps_for_epoch(0, 10, 1)
+    model = build_unet(dim_channel=3, dim_height=size, dim_width=size,
+                       num_attention=1, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), x1, jnp.zeros((1,)))
+    latent = jnp.full((batch, size, size, 3), 0.1, jnp.float32)
+
+    out = {}
+    for arm, env in (("xla", "0"), ("fused", "1")):
+        os.environ["MDT_PALLAS_FUSED"] = env
+        fn = make_sample_fn(model, sched, cfg, used)
+        t = timeit(fn, params, latent, jax.random.PRNGKey(1), n=3)
+        out[f"{arm}_ms_per_step"] = round(t / len(used) * 1e3, 3)
+    os.environ.pop("MDT_PALLAS_FUSED", None)
+    print(json.dumps({
+        "bench": "fused_degrade_inloop", "size": size, "batch": batch,
+        "schedule": schedule, "select": select, "steps": int(len(used)),
+        **out,
+    }), flush=True)
+
+
+def bench_flash_attention():
+    """Attention shapes actually reached by this family:
+    - flagship 64**2 num_attention=1: mid 2x2@512 (S=4, skip), down level 4
+      4x4@512 -> S=16, up deepest 4x4 -> S=16 ... too small to matter; the
+      interesting shapes are the zoo unet6 tables: 128**2 attn at 16**2@512
+      (S=256) and 32**2@256 (S=1024), 256**2 attn at 32**2 (S=1024) and the
+      hypothetical shallow placement S=4096.
+    Measured as one AttentionBlock forward, batch sized to the zoo smokes.
+    """
+    from masked_diffusion_tpu.models.unet import AttentionBlock
+
+    shapes = [
+        (64, 16, 512),   # zoo-ish deep level
+        (8, 32, 512),    # 128**2 smoke batch 8, 32**2 tokens
+        (8, 64, 256),    # S=4096
+        (4, 64, 512),    # 256**2 smoke batch 4 at 64**2@512 -> S=4096
+    ]
+    for b, s, c in shapes:
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, s, s, c)), jnp.bfloat16
+        )
+        res = {}
+        for arm, flash in (("einsum", False), ("flash", True)):
+            blk = AttentionBlock(flash=flash, dtype=jnp.bfloat16)
+            try:
+                p = blk.init(jax.random.PRNGKey(0), x)
+                fn = jax.jit(lambda pp, xx: blk.apply(pp, xx))
+                res[f"{arm}_ms"] = round(timeit(fn, p, x) * 1e3, 3)
+            except Exception as e:  # kernel constraint failures are a verdict
+                res[f"{arm}_ms"] = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+        print(json.dumps({
+            "bench": "attention", "batch": b, "tokens": s * s, "channels": c,
+            **res,
+        }), flush=True)
+
+
+def main():
+    print(json.dumps({"backend": jax.default_backend(),
+                      "device": str(jax.devices()[0])}), flush=True)
+    which = os.environ.get("CHECK", "all")
+    if which in ("all", "standalone"):
+        bench_fused_standalone(select="thresholding")
+        bench_fused_standalone(select="indexing")
+    if which in ("all", "attn"):
+        bench_flash_attention()
+    if which in ("all", "inloop"):
+        bench_fused_inloop(schedule="linear", select="thresholding")
+        bench_fused_inloop(schedule="log", select="indexing", steps=1000)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,11 @@ Dataset families (utils/mydataset.py:63-210):
                directory falls back to the ImageFolder scan.
   synthetic  : deterministic procedural images (gaussian blobs), used by the
                test-suite and benchmarks; no files needed.
+  digits     : scikit-learn's bundled handwritten-digit set (1797 8x8
+               grayscale images, upscaled) — the offline stand-in for MNIST
+               in this zero-egress build environment; same 1-channel
+               training recipe as the reference MNIST workload
+               (script/train/mnist/masked_shift_mean/pua/script_main2.sh).
 
 Transforms mirror utils/mydataset.py:64-83: Resize(short side) + CenterCrop +
 ToTensor, then either global Normalize([0.5],[0.5]) ([-1,1]) or per-image
@@ -237,6 +242,23 @@ def load_lsun(
     if not imgs:
         raise FileNotFoundError(f"no images in {env_dir}")
     return np.stack(imgs)
+
+
+def load_digits_dataset(
+    label_filter: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """scikit-learn's bundled digits (1797 8x8 grayscale, values 0..16) as
+    (N, 8, 8, 1) uint8 + labels — real handwritten-digit structure with zero
+    network egress; the build environment has no MNIST IDX files."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    raw = (d.images / 16.0 * 255.0).astype(np.uint8)[..., None]
+    labels = d.target.astype(np.int64)
+    if label_filter is not None:
+        keep = labels == label_filter
+        raw, labels = raw[keep], labels[keep]
+    return raw, labels
 
 
 def make_synthetic(
@@ -459,6 +481,11 @@ def get_dataset(
         n = num_data if (data_subset and num_data) else 1024
         raw, labels = make_synthetic(n, size, channels=3, seed=seed)
         imgs = raw  # already [0,1] at final size
+    elif name_l == "digits":
+        raw, labels = load_digits_dataset(label_filter)
+        if data_subset and num_data:
+            raw, labels = raw[:num_data], labels[:num_data]
+        imgs = _preprocess_uniform_batch(raw, size)
     elif name_l in ("mnist", "cifar10"):
         loader = load_mnist_idx if name_l == "mnist" else load_cifar10
         raw, labels = loader(path, split)

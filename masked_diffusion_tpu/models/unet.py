@@ -160,12 +160,18 @@ class ResnetBlock(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """Spatial self-attention over HW tokens with head_dim-partitioned heads."""
+    """Spatial self-attention over HW tokens with head_dim-partitioned heads.
+
+    `flash=True` routes through the stock Pallas TPU flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) instead of the
+    materialized-scores einsum — opt-in via UNetConfig.pallas_attention; see
+    docs/PERFORMANCE.md "pallas verdicts" for the measurement."""
 
     head_dim: int = 8
     norm_groups: int = 32
     norm_eps: float = 1e-5
     pallas_norm: bool = False
+    flash: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -197,11 +203,20 @@ class AttentionBlock(nn.Module):
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = 1.0 / math.sqrt(dim_head)
-        # (B, heads, S, S) attention — fused by XLA; S = H*W <= 4096 at the
-        # reference's resolutions so the full score matrix fits comfortably.
-        attn = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * scale, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhst,bhtd->bhsd", attn, v)
+        if self.flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(q, k, v, sm_scale=scale)
+        else:
+            # (B, heads, S, S) attention — fused by XLA; S = H*W <= 4096 at
+            # the reference's resolutions so the score matrix fits comfortably.
+            attn = jnp.einsum(
+                "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(attn * scale, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhst,bhtd->bhsd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
         return x + out.reshape(b, h, w, c)
@@ -259,6 +274,11 @@ class UNetConfig:
     # and the forward already runs at ~84% of its HBM roofline. Kept as the
     # kernel seam for future multi-image blocking; None resolves to off.
     pallas_norm: Optional[bool] = None
+    # stock Pallas TPU flash attention in every AttentionBlock: opt-in. At
+    # this family's shapes (head_dim=8, S <= 4096 on downsampled levels) the
+    # materialized-scores einsum is the measured-faster path — see
+    # docs/PERFORMANCE.md "pallas verdicts"; None resolves to off.
+    pallas_attention: Optional[bool] = None
 
     def __post_init__(self):
         n = len(self.block_out_channels)
@@ -310,10 +330,12 @@ class UNet2D(nn.Module):
 
         dtype_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         pallas_norm = bool(cfg.pallas_norm) if cfg.pallas_norm is not None else False
+        flash = bool(cfg.pallas_attention) if cfg.pallas_attention is not None else False
         block_kw = dict(
             norm_groups=cfg.norm_groups, norm_eps=cfg.norm_eps,
             pallas_norm=pallas_norm, **dtype_kw,
         )
+        attn_kw = dict(head_dim=cfg.attention_head_dim, flash=flash, **block_kw)
         res_kw = dict(dropout=cfg.dropout, **block_kw)
         # rematerialization via flax's LIFTED transform: jax.checkpoint around
         # a bound module call leaks tracers at init (param creation is a side
@@ -333,8 +355,7 @@ class UNet2D(nn.Module):
                 )
                 if cfg.attn_down[level]:
                     h = AttentionBlock(
-                        head_dim=cfg.attention_head_dim,
-                        name=f"down_{level}_attn_{layer}", **block_kw,
+                        name=f"down_{level}_attn_{layer}", **attn_kw,
                     )(h)
                 skips.append(h)
             if level != n_levels - 1:
@@ -343,9 +364,7 @@ class UNet2D(nn.Module):
 
         # ---- middle
         h = ResnetBlock(ch[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
-        h = AttentionBlock(
-            head_dim=cfg.attention_head_dim, name="mid_attn", **block_kw
-        )(h)
+        h = AttentionBlock(name="mid_attn", **attn_kw)(h)
         h = ResnetBlock(ch[-1], name="mid_res_2", **res_kw)(h, temb, deterministic)
 
         # ---- up path (processing order: deepest level first). attn_up is in
@@ -362,8 +381,7 @@ class UNet2D(nn.Module):
                 )
                 if cfg.attn_up[i]:
                     h = AttentionBlock(
-                        head_dim=cfg.attention_head_dim,
-                        name=f"up_{i}_attn_{layer}", **block_kw,
+                        name=f"up_{i}_attn_{layer}", **attn_kw,
                     )(h)
             if i != n_levels - 1:
                 h = Upsample(rev_ch[i], name=f"up_{i}_upsample", **dtype_kw)(h)

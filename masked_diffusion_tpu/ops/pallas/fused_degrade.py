@@ -1,0 +1,216 @@
+"""Pallas TPU kernel: fused per-step sampling degradation + update rule.
+
+The reverse-loop body degrades x_0 twice per step (at t and t-1) and applies
+the cold-diffusion update (sampler.py:167-216). On the XLA path that is, per
+degrade: a threefry uniform draw, a mask compare (or an exact-k sort), a
+masked mean reduction, and the fill — each materializing (B,H,W,C)
+intermediates between fusion boundaries, with the threefry bit generation
+alone costing a visible slice of the ~2.2 ms/step of non-UNet work at 64²
+(docs/PERFORMANCE.md roofline table: 14.0 ms measured vs 11.8 ms forward
+floor).
+
+This kernel does the whole thing in ONE pass over VMEM-resident blocks of 8
+images, with random bits from the on-chip PRNG (nearly free vs threefry):
+
+    bits_t, bits_n  <- hardware PRNG            (2 draws per image)
+    mask_t, mask_n  <- threshold (u > ratio) or exact-k bit-scan
+    mu_t,  mu_n     <- masked mean over degraded pixels (image-wise) / const
+    D_t,   D_n      <- m*x0 + (1-m)*mu
+    out             <- sample_t - D_t + D_n     (base_momentum)
+                       D_n                      (base_sampling)
+
+Covered modes (the bench headline linear/thresholding and the
+reference-default log/indexing, both with mean_option degraded_area
+image-wise or const, 1-channel masks, independent dependency): everything
+else falls back to the XLA path in sample/loop.py. Masks are
+distribution-identical but not stream-equal to the jax.random path (same
+caveat as ops/pallas/kmask.py; runs remain seed-deterministic per backend).
+
+Layout: images enter as (B, C*HW) rows in channel-major order
+(NHWC -> transpose to NCHW -> reshape), so a block of 8 images fills all 8
+sublanes and the mask expands across channels by lane-concatenation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_G = 8  # images per grid step (full sublane occupancy)
+
+
+def rowwise_kth_threshold(bits, k):
+    """Per-row maximum uint32 T with count(row < T) <= k[row] — the greedy
+    MSB-first scan of ops/pallas/kmask.py:greedy_kth_threshold, vectorized
+    over rows. bits: (R, N) uint32, k: (R, 1) int32. Returns (R, 1) uint32."""
+
+    def bit_step(b, t):
+        cand = t | (jnp.uint32(1) << (31 - b))
+        cnt = jnp.sum((bits < cand).astype(jnp.int32), axis=1, keepdims=True)
+        return jnp.where(cnt <= k, cand, t)
+
+    return jax.lax.fori_loop(
+        0, 32, bit_step, jnp.zeros((bits.shape[0], 1), jnp.uint32)
+    )
+
+
+def fused_rows(
+    bits_t,
+    bits_n,
+    sample_t,
+    sample_0,
+    amount_t,
+    amount_next,
+    *,
+    channels: int,
+    select: str,
+    mean_mode: str,
+    mean_value: float,
+    rule: str,
+):
+    """Pure-jnp row math shared by the kernel body and the CPU exactness
+    tests (the TPU interpreter stubs the PRNG, so tests inject bits).
+
+    bits_*: (R, HW) uint32; sample_*: (R, C*HW) f32 channel-major;
+    amount_*: (R, 1) f32 (ratios for thresholding, counts for indexing).
+    Returns (out, mask_n) with mask_n the (R, HW) keep-mask at t-1 (carried
+    for parity with the XLA path's trajectory contract).
+    """
+    if select == "thresholding":
+        # u > ratio keeps the pixel (ops/degrade.py:threshold_masks); the
+        # uint32->f32 convert rounds past 2^24 but stays uniform
+        inv32 = jnp.float32(1.0 / 4294967296.0)
+        keep_t = (bits_t.astype(jnp.float32) * inv32) > amount_t
+        keep_n = (bits_n.astype(jnp.float32) * inv32) > amount_next
+    elif select == "indexing":
+        kt = amount_t.astype(jnp.int32)
+        kn = amount_next.astype(jnp.int32)
+        keep_t = ~(bits_t < rowwise_kth_threshold(bits_t, kt))
+        keep_n = ~(bits_n < rowwise_kth_threshold(bits_n, kn))
+    else:  # pragma: no cover - guarded by the dispatcher
+        raise ValueError(select)
+
+    mask_t = keep_t.astype(jnp.float32)
+    mask_n = keep_n.astype(jnp.float32)
+    # expand the shared 1-channel mask across channel-major lanes
+    m_t = jnp.concatenate([mask_t] * channels, axis=1) if channels > 1 else mask_t
+    m_n = jnp.concatenate([mask_n] * channels, axis=1) if channels > 1 else mask_n
+
+    def mean_of(mask_full):
+        if mean_mode == "const":
+            return jnp.float32(mean_value)
+        inv = 1.0 - mask_full
+        s = jnp.sum(sample_0 * inv, axis=1, keepdims=True)
+        cnt = jnp.sum(inv, axis=1, keepdims=True)
+        return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
+
+    mu_t = mean_of(m_t)
+    mu_n = mean_of(m_n)
+    d_t = m_t * sample_0 + (1.0 - m_t) * mu_t
+    d_n = m_n * sample_0 + (1.0 - m_n) * mu_n
+    if rule == "base_momentum":
+        out = sample_t - d_t + d_n  # cold diffusion (sampler.py:209-216)
+    else:  # base_sampling (sampler.py:199-207)
+        out = d_n
+    return out, mask_n
+
+
+def _kernel(
+    amt_ref, amn_ref, seed_ref, xt_ref, x0_ref, out_ref, mask_ref, *,
+    hw: int, channels: int, group: int, select: str, mean_mode: str,
+    mean_value: float, rule: str,
+):
+    g = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], g)
+    bits_t = pltpu.bitcast(pltpu.prng_random_bits((group, hw)), jnp.uint32)
+    bits_n = pltpu.bitcast(pltpu.prng_random_bits((group, hw)), jnp.uint32)
+    # per-row amounts from the scalar-prefetch refs (static unrolled loop)
+    amt = jnp.array(
+        [amt_ref[g * group + r] for r in range(group)], jnp.float32
+    ).reshape(group, 1)
+    amn = jnp.array(
+        [amn_ref[g * group + r] for r in range(group)], jnp.float32
+    ).reshape(group, 1)
+    out, mask_n = fused_rows(
+        bits_t, bits_n, xt_ref[...], x0_ref[...], amt, amn,
+        channels=channels, select=select, mean_mode=mean_mode,
+        mean_value=mean_value, rule=rule,
+    )
+    out_ref[...] = out
+    mask_ref[...] = mask_n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("select", "mean_mode", "mean_value", "rule",
+                              "interpret")
+)
+def fused_degrade_update(
+    key,
+    sample_t,
+    sample_0,
+    amount_t,
+    amount_next,
+    *,
+    select: str,
+    mean_mode: str,
+    mean_value: float = 0.0,
+    rule: str = "base_momentum",
+    interpret: bool = False,
+):
+    """Fused degrade(t) + degrade(t-1) + update for the sampling loop.
+
+    sample_t/sample_0: (B, H, W, C) f32 NHWC; amount_*: (B,) schedule
+    amounts. Returns (new_sample_t, mask_next) with mask_next (B, H, W, C)
+    keep-mask at t-1 (broadcast over channels like generate_masks).
+    """
+    b, h, w, c = sample_t.shape
+    hw = h * w
+    group = _G if (b % _G == 0 and hw * c * 4 * _G <= 4 * 1024 * 1024) else 1
+
+    # channel-major rows: NHWC -> NCHW -> (B, C*HW)
+    xt = sample_t.transpose(0, 3, 1, 2).reshape(b, c * hw).astype(jnp.float32)
+    x0 = sample_0.transpose(0, 3, 1, 2).reshape(b, c * hw).astype(jnp.float32)
+
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        raw = jax.random.key_data(key)
+    else:
+        raw = key
+    seed = jax.lax.bitcast_convert_type(
+        jnp.asarray(raw, dtype=jnp.uint32).reshape(-1)[:2], jnp.int32
+    )
+    amt = jnp.asarray(amount_t, jnp.float32).reshape(b)
+    amn = jnp.asarray(amount_next, jnp.float32).reshape(b)
+
+    out, mask_n = pl.pallas_call(
+        functools.partial(
+            _kernel, hw=hw, channels=c, group=group, select=select,
+            mean_mode=mean_mode, mean_value=mean_value, rule=rule,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # amount_t, amount_next, seed
+            grid=(b // group,),
+            in_specs=[
+                pl.BlockSpec((group, c * hw), lambda i, *_: (i, 0)),
+                pl.BlockSpec((group, c * hw), lambda i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((group, c * hw), lambda i, *_: (i, 0)),
+                pl.BlockSpec((group, hw), lambda i, *_: (i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c * hw), jnp.float32),
+            jax.ShapeDtypeStruct((b, hw), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(amt, amn, seed, xt, x0)
+
+    new_sample_t = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    mask_next = jnp.broadcast_to(
+        mask_n.reshape(b, h, w, 1), (b, h, w, c)
+    )
+    return new_sample_t, mask_next

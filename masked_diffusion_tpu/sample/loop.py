@@ -42,6 +42,38 @@ TRAJECTORY_FIELDS = (
 )
 
 
+def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
+    """Gate the fused pallas degrade+update kernel.
+
+    Coverage: independent dependency, base_momentum/base_sampling rules,
+    1-channel masks, const or degraded_area image-wise means, no trajectory
+    capture (the fused path never materializes the intermediates the ys
+    record). Env MDT_PALLAS_FUSED=1/0 forces; otherwise off pending the
+    measured verdict (docs/PERFORMANCE.md "pallas verdicts"). pallas_call
+    has no GSPMD partitioning rule, so multi-device meshes always stay on
+    the XLA path unless forced.
+    """
+    import os
+
+    from masked_diffusion_tpu.config import parse_mean_option
+
+    if capture_trajectory or dependency != "independent":
+        return False
+    if rule not in ("base_momentum", "base_sampling"):
+        return False
+    if cfg.degrade_channel != "1-channel":
+        return False
+    mode, _ = parse_mean_option(cfg.mean_option)
+    if mode == "degraded_area" and cfg.mean_area != "image-wise":
+        return False
+    if mode not in ("const", "degraded_area"):
+        return False
+    env = os.environ.get("MDT_PALLAS_FUSED", "").lower()
+    if env in ("1", "true"):
+        return True
+    return False  # off by default until the measured verdict flips it
+
+
 def make_sample_fn(
     model,
     schedule: MaskSchedule,
@@ -84,6 +116,18 @@ def make_sample_fn(
         mean_area=cfg.mean_area,
     )
 
+    # fused pallas degrade+update (ops/pallas/fused_degrade.py): one kernel
+    # pass replaces both degrade calls and the update rule; see
+    # _use_fused_degrade for the mode coverage + gating
+    use_fused = _use_fused_degrade(cfg, dependency, rule, capture_trajectory)
+    if use_fused:
+        from masked_diffusion_tpu.config import parse_mean_option
+        from masked_diffusion_tpu.ops.pallas.fused_degrade import (
+            fused_degrade_update,
+        )
+
+        fused_mean_mode, fused_mean_value = parse_mean_option(cfg.mean_option)
+
     def sample_impl(params, latent, key):
         def body(carry, i):
             sample_t, _, mask_next_prev, momentum, key = carry
@@ -111,6 +155,16 @@ def make_sample_fn(
             next_tvec = jnp.where(is_last, tvec, tvec - 1)
             amount_t = schedule.degrade_amount(tvec)
             amount_next = schedule.degrade_amount(next_tvec)
+
+            if use_fused:
+                new_sample_t, mask_next = fused_degrade_update(
+                    k_deg_t, sample_t, sample_0, amount_t, amount_next,
+                    select=cfg.select_degrade_pixel, mean_mode=fused_mean_mode,
+                    mean_value=float(fused_mean_value or 0.0), rule=rule,
+                )
+                # the reference guards the state update with `if i > 0`
+                new_sample_t = jnp.where(is_last, sample_t, new_sample_t)
+                return (new_sample_t, sample_0, mask_next, momentum, key), None
 
             if dependency == "independent":
                 degraded_t, mask_t, _ = degrade_independent(k_deg_t, sample_0, amount_t)

@@ -21,3 +21,9 @@ import jax  # noqa: E402
 # pin it back to cpu-only before any backend initializes
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration tests (multi-process spawn)"
+    )

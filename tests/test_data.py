@@ -104,3 +104,24 @@ class TestHistogram:
     def test_empty(self):
         assert compute_mean_histogram.__module__  # sanity
         assert empty_histogram() == (None, None, None)
+
+
+class TestDigitsDataset:
+    """sklearn-digits family: the zero-egress MNIST stand-in used by the
+    convergence demo (RESULTS.md)."""
+
+    def test_load_and_preprocess(self):
+        from masked_diffusion_tpu.data.datasets import get_dataset
+
+        ds = get_dataset("", "digits", 32, data_subset=True, num_data=64)
+        assert ds.data.shape == (64, 32, 32, 1)
+        assert ds.data.min() >= -1.0 and ds.data.max() <= 1.0
+        # real digit strokes, not blanks
+        assert ds.data.std() > 0.2
+
+    def test_label_filter(self):
+        from masked_diffusion_tpu.data.datasets import get_dataset
+
+        ds = get_dataset("", "digits", 16, data_subset=True, num_data=50,
+                         label_filter=3)
+        assert (ds.labels == 3).all()

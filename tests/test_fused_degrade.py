@@ -1,0 +1,152 @@
+"""Fused pallas degrade+update: row math on CPU with injected bits.
+
+The TPU interpreter stubs pltpu.prng_random_bits, so (like the kmask tests)
+the PRNG-driven kernel is exercised end-to-end only on hardware
+(benchmarks/check_pallas_tpu.py); here the pure-jnp `fused_rows` — mask
+generation from given bits, masked means, fills, and the update rule — is
+checked for exactness against the ops/degrade.py composition on the SAME
+masks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.ops import degrade as degrade_ops
+from masked_diffusion_tpu.ops.pallas.fused_degrade import (
+    fused_rows,
+    rowwise_kth_threshold,
+)
+
+R, H, W = 4, 8, 8
+HW = H * W
+
+
+def _bits(seed, shape=(R, HW)):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, 2**32, size=shape, dtype=np.uint32))
+
+
+def _imgs(seed, c):
+    rng = np.random.default_rng(seed)
+    xt = rng.normal(size=(R, c * HW)).astype(np.float32)
+    x0 = rng.normal(size=(R, c * HW)).astype(np.float32)
+    return jnp.asarray(xt), jnp.asarray(x0)
+
+
+def _to_nhwc(rows, c):
+    return np.asarray(rows).reshape(R, c, H, W).transpose(0, 2, 3, 1)
+
+
+class TestRowwiseKth:
+    def test_matches_per_row_order_statistic(self):
+        bits = _bits(0)
+        k = jnp.asarray([[0], [5], [30], [64]], jnp.int32)
+        thr = np.asarray(rowwise_kth_threshold(bits, k))
+        for r in range(R):
+            sel = int((np.asarray(bits[r]) < thr[r, 0]).sum())
+            assert sel == int(k[r, 0])
+
+
+class TestFusedRowsExactness:
+    @pytest.mark.parametrize("c", [1, 3])
+    @pytest.mark.parametrize("mean_mode,mean_value", [
+        ("const", 0.0), ("const", 0.25), ("degraded_area", 0.0),
+    ])
+    @pytest.mark.parametrize("rule", ["base_momentum", "base_sampling"])
+    def test_thresholding_matches_xla_composition(self, c, mean_mode,
+                                                  mean_value, rule):
+        bits_t, bits_n = _bits(1), _bits(2)
+        xt, x0 = _imgs(3, c)
+        ratios = jnp.asarray([[0.1], [0.4], [0.7], [0.95]], jnp.float32)
+        out, mask_n = fused_rows(
+            bits_t, bits_n, xt, x0, ratios, ratios * 0.5,
+            channels=c, select="thresholding", mean_mode=mean_mode,
+            mean_value=mean_value, rule=rule,
+        )
+        # rebuild the masks the same way, then compose with ops/degrade.py
+        u_t = np.asarray(bits_t).astype(np.float32) * np.float32(1 / 2**32)
+        u_n = np.asarray(bits_n).astype(np.float32) * np.float32(1 / 2**32)
+        keep_t = (u_t > np.asarray(ratios)).astype(np.float32)
+        keep_n = (u_n > np.asarray(ratios) * 0.5).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(mask_n), keep_n)
+
+        x0_nhwc = _to_nhwc(x0, c)
+        xt_nhwc = _to_nhwc(xt, c)
+        mo = mean_value if mean_mode == "const" else "degraded_area"
+        d_t = degrade_ops.degrade_with_mask(
+            jnp.asarray(x0_nhwc),
+            jnp.broadcast_to(
+                jnp.asarray(keep_t).reshape(R, H, W, 1), (R, H, W, c)
+            ),
+            mo, "image-wise",
+        )
+        d_n = degrade_ops.degrade_with_mask(
+            jnp.asarray(x0_nhwc),
+            jnp.broadcast_to(
+                jnp.asarray(keep_n).reshape(R, H, W, 1), (R, H, W, c)
+            ),
+            mo, "image-wise",
+        )
+        if rule == "base_momentum":
+            expect = xt_nhwc - np.asarray(d_t) + np.asarray(d_n)
+        else:
+            expect = np.asarray(d_n)
+        np.testing.assert_allclose(_to_nhwc(out, c), expect, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_indexing_exact_counts(self, c):
+        bits_t, bits_n = _bits(4), _bits(5)
+        xt, x0 = _imgs(6, c)
+        counts = jnp.asarray([[0], [7], [32], [64]], jnp.float32)
+        out, mask_n = fused_rows(
+            bits_t, bits_n, xt, x0, counts, counts,
+            channels=c, select="indexing", mean_mode="degraded_area",
+            mean_value=0.0, rule="base_momentum",
+        )
+        # exactly k degraded pixels per row, and they are the k smallest bits
+        for r in range(R):
+            k = int(counts[r, 0])
+            degraded = 1.0 - np.asarray(mask_n[r])
+            assert int(degraded.sum()) == k
+            if 0 < k < HW:
+                order = np.sort(np.asarray(bits_n[r]))
+                assert np.asarray(bits_n[r])[degraded.astype(bool)].max() <= order[k - 1]
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_update_rule_identity(self):
+        """base_momentum with identical masks at t and t-1 is a no-op
+        (D_t == D_n -> out == sample_t)."""
+        bits = _bits(7)
+        xt, x0 = _imgs(8, 1)
+        ratios = jnp.full((R, 1), 0.5, jnp.float32)
+        out, _ = fused_rows(
+            bits, bits, xt, x0, ratios, ratios,
+            channels=1, select="thresholding", mean_mode="degraded_area",
+            mean_value=0.0, rule="base_momentum",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xt), atol=1e-6)
+
+
+class TestLoopGating:
+    def test_fused_gate_mode_coverage(self, monkeypatch):
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.sample.loop import _use_fused_degrade
+
+        cfg = Config(
+            select_degrade_pixel="thresholding", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+        )
+        monkeypatch.setenv("MDT_PALLAS_FUSED", "1")
+        assert _use_fused_degrade(cfg, "independent", "base_momentum", False)
+        # uncovered modes never fuse, even when forced
+        assert not _use_fused_degrade(cfg, "dependent_prev", "base_momentum", False)
+        assert not _use_fused_degrade(cfg, "independent", "momentum", False)
+        assert not _use_fused_degrade(cfg, "independent", "base_momentum", True)
+        cfg3 = cfg.replace(degrade_channel="3-channel")
+        assert not _use_fused_degrade(cfg3, "independent", "base_momentum", False)
+        cfgc = cfg.replace(mean_option="non_degraded_area")
+        assert not _use_fused_degrade(cfgc, "independent", "base_momentum", False)
+        monkeypatch.setenv("MDT_PALLAS_FUSED", "0")
+        assert not _use_fused_degrade(cfg, "independent", "base_momentum", False)

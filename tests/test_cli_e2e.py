@@ -64,9 +64,13 @@ def test_cli_sampling_base_and_interpolation(tmp_path):
     trainer_masked_mean_shift.py:254-260 intent) and --interpolation_shift
     (the interpolation sampler route, sampler.py:102-106,264-366) are both
     reachable from the CLI and leave their artifacts."""
+    # interpolation masks are ratio thresholds, so the run must use
+    # thresholding (indexing + interpolation now raises at config time —
+    # config.py:validate_sampling_modes, tests/test_mode_grid.py)
     assert main(_args(
         tmp_path, "basearm",
         ("--method", "mean_shift", "--shift_type", "1-d_constant",
+         "--ddpm_schedule", "linear", "--select_degrade_pixel", "thresholding",
          "--sampling", "base", "--interpolation_shift", "0.5"),
     )) == 0
     runs = glob.glob(str(tmp_path / "result/cli/synthetic/mean_shift/*/basearm"))

@@ -26,11 +26,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=20):
-    jax.block_until_ready(fn(*args))
+def timeit(fn, *args, n=100):
+    """Amortized timing over n pipelined calls, drained by a scalar fetch.
+
+    Per CLAUDE.md: over the axon tunnel block_until_ready on a pipelined
+    burst under-reports (it returns from streamed ready notifications, not a
+    device round trip) — the ground truth is a scalar fetch that depends on
+    the last result, amortized over >=100 calls so the one real RTT is noise.
+    """
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    float(jnp.sum(jax.tree.leaves(out)[0]))  # compile + true sync
     t0 = time.perf_counter()
-    for _ in range(n):
-        jax.block_until_ready(fn(*args))
+    for i in range(n):
+        out = fn(*args)
+        if (i + 1) % 10 == 0:  # cap in-flight work: 100 queued programs OOM
+            jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
     return (time.perf_counter() - t0) / n
 
 
@@ -109,6 +122,48 @@ def bench_fused_inloop(size=64, batch=64, schedule="linear",
     }), flush=True)
 
 
+def bench_attention_scan():
+    """Unambiguous attention timing: one lax.scan of 100 AttentionBlock
+    forwards per arm — a single compiled program, so per-step time is
+    total/100 with no per-call dispatch ambiguity over the tunnel."""
+    from masked_diffusion_tpu.models.unet import AttentionBlock
+
+    shapes = [
+        (64, 16, 512),  # zoo 128**2 deep placement: S=256
+        (8, 32, 512),   # zoo 256**2 placement: S=1024
+        (4, 64, 256),   # S=4096 stress (einsum failed to compile standalone)
+    ]
+    for b, s, c in shapes:
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, s, s, c)), jnp.bfloat16
+        )
+        res = {}
+        for arm, flash in (("einsum", False), ("flash", True)):
+            blk = AttentionBlock(flash=flash, dtype=jnp.bfloat16)
+            try:
+                p = blk.init(jax.random.PRNGKey(0), x)
+
+                @jax.jit
+                def run(pp, xx):
+                    def body(h, _):
+                        return blk.apply(pp, h).astype(jnp.bfloat16), None
+
+                    out, _ = jax.lax.scan(body, xx, None, length=100)
+                    return out
+
+                run(p, x)
+                float(jnp.sum(run(p, x)))  # sync
+                t0 = time.perf_counter()
+                float(jnp.sum(run(p, x)))
+                res[f"{arm}_ms"] = round((time.perf_counter() - t0) / 100 * 1e3, 3)
+            except Exception as e:
+                res[f"{arm}_ms"] = f"FAIL: {type(e).__name__}: {str(e)[:100]}"
+        print(json.dumps({
+            "bench": "attention_scan", "batch": b, "tokens": s * s,
+            "channels": c, **res,
+        }), flush=True)
+
+
 def bench_flash_attention():
     """Attention shapes actually reached by this family:
     - flagship 64**2 num_attention=1: mid 2x2@512 (S=4, skip), down level 4
@@ -153,7 +208,7 @@ def main():
         bench_fused_standalone(select="thresholding")
         bench_fused_standalone(select="indexing")
     if which in ("all", "attn"):
-        bench_flash_attention()
+        bench_attention_scan()
     if which in ("all", "inloop"):
         bench_fused_inloop(schedule="linear", select="thresholding")
         bench_fused_inloop(schedule="log", select="indexing", steps=1000)

@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -81,11 +82,15 @@ def fused_rows(
     for parity with the XLA path's trajectory contract).
     """
     if select == "thresholding":
-        # u > ratio keeps the pixel (ops/degrade.py:threshold_masks); the
-        # uint32->f32 convert rounds past 2^24 but stays uniform
-        inv32 = jnp.float32(1.0 / 4294967296.0)
-        keep_t = (bits_t.astype(jnp.float32) * inv32) > amount_t
-        keep_n = (bits_n.astype(jnp.float32) * inv32) > amount_next
+        # u > ratio keeps the pixel (ops/degrade.py:threshold_masks). Mosaic
+        # has no uint32->f32 cast; take the top 24 bits (mantissa-exact in
+        # f32) through an int32 cast instead — u uniform on [0, 1) at 2^-24
+        # resolution
+        inv24 = jnp.float32(1.0 / 16777216.0)
+        u_t = (bits_t >> 8).astype(jnp.int32).astype(jnp.float32) * inv24
+        u_n = (bits_n >> 8).astype(jnp.int32).astype(jnp.float32) * inv24
+        keep_t = u_t > amount_t
+        keep_n = u_n > amount_next
     elif select == "indexing":
         kt = amount_t.astype(jnp.int32)
         kn = amount_next.astype(jnp.int32)
@@ -125,7 +130,10 @@ def _kernel(
     mean_value: float, rule: str,
 ):
     g = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], g)
+    # libtpu prng_seed accepts at most 2 values; mix the grid index into
+    # word 0 (same scheme as ops/pallas/kmask.py)
+    mix = g * np.int32(-1640531527)  # 0x9E3779B9 (golden ratio) as i32
+    pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
     bits_t = pltpu.bitcast(pltpu.prng_random_bits((group, hw)), jnp.uint32)
     bits_n = pltpu.bitcast(pltpu.prng_random_bits((group, hw)), jnp.uint32)
     # per-row amounts from the scalar-prefetch refs (static unrolled loop)

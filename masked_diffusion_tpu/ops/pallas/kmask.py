@@ -58,8 +58,11 @@ def _kmask_kernel(counts_ref, seed_ref, out_ref, *, hw_pad: int, hw: int):
     img = pl.program_id(0)
     # both 32-bit words of the jax key feed the seed: a single int31 seed
     # collides between distinct keys at ~n^2/2^32 — hundreds of whole-batch
-    # mask-pattern reuses over a ~1e6-step run; two words push that to ~2^-64
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], img)
+    # mask-pattern reuses over a ~1e6-step run; two words push that to
+    # ~2^-64. libtpu's prng_seed takes at most TWO values, so the per-image
+    # index is golden-ratio-mixed into word 0 instead of passed separately.
+    mix = img * np.int32(-1640531527)  # 0x9E3779B9 (golden ratio) as i32
+    pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
 
     cols = hw_pad // _ROWS
     s = pltpu.prng_random_bits((_ROWS, cols))

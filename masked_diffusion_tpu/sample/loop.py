@@ -48,10 +48,15 @@ def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
     Coverage: independent dependency, base_momentum/base_sampling rules,
     1-channel masks, const or degraded_area image-wise means, no trajectory
     capture (the fused path never materializes the intermediates the ys
-    record). Env MDT_PALLAS_FUSED=1/0 forces; otherwise off pending the
-    measured verdict (docs/PERFORMANCE.md "pallas verdicts"). pallas_call
-    has no GSPMD partitioning rule, so multi-device meshes always stay on
-    the XLA path unless forced.
+    record). Env MDT_PALLAS_FUSED=1/0 forces.
+
+    Measured verdict (docs/PERFORMANCE.md "pallas verdicts", 64² batch 64):
+    indexing mode WINS in-loop (14.04 vs 14.51 ms/step — the two XLA value
+    sorts become two 32-pass bit-scans in one VMEM residency), thresholding
+    TIES (14.02 vs 14.06) — so auto-on is indexing-only. Auto-on also
+    requires TPU + a SINGLE visible device: pallas_call has no GSPMD
+    partitioning rule, so under a sharded mesh XLA would replicate the call
+    (same reasoning as ops/degrade.py:_use_pallas_kmask).
     """
     import os
 
@@ -71,7 +76,13 @@ def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
     env = os.environ.get("MDT_PALLAS_FUSED", "").lower()
     if env in ("1", "true"):
         return True
-    return False  # off by default until the measured verdict flips it
+    if env in ("0", "false"):
+        return False
+    return (
+        cfg.select_degrade_pixel == "indexing"
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+    )
 
 
 def make_sample_fn(

@@ -65,9 +65,10 @@ class TestFusedRowsExactness:
             channels=c, select="thresholding", mean_mode=mean_mode,
             mean_value=mean_value, rule=rule,
         )
-        # rebuild the masks the same way, then compose with ops/degrade.py
-        u_t = np.asarray(bits_t).astype(np.float32) * np.float32(1 / 2**32)
-        u_n = np.asarray(bits_n).astype(np.float32) * np.float32(1 / 2**32)
+        # rebuild the masks the same way (top 24 bits -> f32, the
+        # Mosaic-supported cast), then compose with ops/degrade.py
+        u_t = (np.asarray(bits_t) >> 8).astype(np.float32) * np.float32(1 / 2**24)
+        u_n = (np.asarray(bits_n) >> 8).astype(np.float32) * np.float32(1 / 2**24)
         keep_t = (u_t > np.asarray(ratios)).astype(np.float32)
         keep_n = (u_n > np.asarray(ratios) * 0.5).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(mask_n), keep_n)

@@ -212,6 +212,13 @@ def main():
     if which in ("all", "inloop"):
         bench_fused_inloop(schedule="linear", select="thresholding")
         bench_fused_inloop(schedule="log", select="indexing", steps=1000)
+    if which == "inloop_large":
+        # 128²/256² indexing: the fused kernel vs the production XLA path
+        # (which auto-uses the kmask kernel at these sizes, hw >= 16384)
+        bench_fused_inloop(size=128, batch=8, schedule="log",
+                           select="indexing", steps=1000)
+        bench_fused_inloop(size=256, batch=4, schedule="log",
+                           select="indexing", steps=1000)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 _G = 8  # images per grid step (full sublane occupancy)
 
 
+def fused_supported(b: int, h: int, w: int, c: int) -> bool:
+    """Shapes the kernel can lower: a block of _G images must fit the VMEM
+    budget (~4 MB of f32 image rows; 256²x3 at 6.3 MB exceeds it — and the
+    XLA+kmask path is the measured winner there anyway,
+    docs/PERFORMANCE.md). Mosaic rejects sublane blocks of 1 outright
+    (group=1 "fallback" never lowered on real TPUs), so sub-_G batches are
+    handled by row padding in fused_degrade_update, not smaller groups."""
+    return h * w * c * 4 * _G <= 4 * 1024 * 1024
+
+
 def rowwise_kth_threshold(bits, k):
     """Per-row maximum uint32 T with count(row < T) <= k[row] — the greedy
     MSB-first scan of ops/pallas/kmask.py:greedy_kth_threshold, vectorized
@@ -174,14 +184,32 @@ def fused_degrade_update(
     sample_t/sample_0: (B, H, W, C) f32 NHWC; amount_*: (B,) schedule
     amounts. Returns (new_sample_t, mask_next) with mask_next (B, H, W, C)
     keep-mask at t-1 (broadcast over channels like generate_masks).
+
+    Batches not divisible by _G are row-padded to the next multiple (Mosaic
+    refuses sublane blocks < 8; the padded rows' outputs are sliced off).
+    Callers must check fused_supported() first — oversized images raise.
     """
     b, h, w, c = sample_t.shape
     hw = h * w
-    group = _G if (b % _G == 0 and hw * c * 4 * _G <= 4 * 1024 * 1024) else 1
+    if not fused_supported(b, h, w, c):
+        raise ValueError(
+            f"fused_degrade_update: {h}x{w}x{c} exceeds the VMEM block "
+            "budget (fused_supported); use the XLA path"
+        )
+    group = _G
+    b_pad = -(-b // _G) * _G
 
     # channel-major rows: NHWC -> NCHW -> (B, C*HW)
     xt = sample_t.transpose(0, 3, 1, 2).reshape(b, c * hw).astype(jnp.float32)
     x0 = sample_0.transpose(0, 3, 1, 2).reshape(b, c * hw).astype(jnp.float32)
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0))
+        xt = jnp.pad(xt, pad)
+        x0 = jnp.pad(x0, pad)
+        amount_t = jnp.pad(jnp.asarray(amount_t, jnp.float32).reshape(b),
+                           (0, b_pad - b))
+        amount_next = jnp.pad(jnp.asarray(amount_next, jnp.float32).reshape(b),
+                              (0, b_pad - b))
 
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         raw = jax.random.key_data(key)
@@ -190,8 +218,8 @@ def fused_degrade_update(
     seed = jax.lax.bitcast_convert_type(
         jnp.asarray(raw, dtype=jnp.uint32).reshape(-1)[:2], jnp.int32
     )
-    amt = jnp.asarray(amount_t, jnp.float32).reshape(b)
-    amn = jnp.asarray(amount_next, jnp.float32).reshape(b)
+    amt = jnp.asarray(amount_t, jnp.float32).reshape(b_pad)
+    amn = jnp.asarray(amount_next, jnp.float32).reshape(b_pad)
 
     out, mask_n = pl.pallas_call(
         functools.partial(
@@ -200,7 +228,7 @@ def fused_degrade_update(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # amount_t, amount_next, seed
-            grid=(b // group,),
+            grid=(b_pad // group,),
             in_specs=[
                 pl.BlockSpec((group, c * hw), lambda i, *_: (i, 0)),
                 pl.BlockSpec((group, c * hw), lambda i, *_: (i, 0)),
@@ -211,14 +239,14 @@ def fused_degrade_update(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, c * hw), jnp.float32),
-            jax.ShapeDtypeStruct((b, hw), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, c * hw), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, hw), jnp.float32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(amt, amn, seed, xt, x0)
 
-    new_sample_t = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    new_sample_t = out[:b].reshape(b, c, h, w).transpose(0, 2, 3, 1)
     mask_next = jnp.broadcast_to(
-        mask_n.reshape(b, h, w, 1), (b, h, w, c)
+        mask_n[:b].reshape(b, h, w, 1), (b, h, w, c)
     )
     return new_sample_t, mask_next

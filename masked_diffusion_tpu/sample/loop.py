@@ -73,6 +73,10 @@ def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
         return False
     if mode not in ("const", "degraded_area"):
         return False
+    from masked_diffusion_tpu.ops.pallas.fused_degrade import fused_supported
+
+    if not fused_supported(1, cfg.data_size, cfg.data_size, cfg.out_channel):
+        return False  # exceeds the kernel's VMEM block budget (256²x3+)
     env = os.environ.get("MDT_PALLAS_FUSED", "").lower()
     if env in ("1", "true"):
         return True

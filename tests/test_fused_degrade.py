@@ -151,3 +151,93 @@ class TestLoopGating:
         assert not _use_fused_degrade(cfgc, "independent", "base_momentum", False)
         monkeypatch.setenv("MDT_PALLAS_FUSED", "0")
         assert not _use_fused_degrade(cfg, "independent", "base_momentum", False)
+
+    def test_fused_gate_vmem_budget(self, monkeypatch):
+        """Shapes whose 8-image block exceeds the VMEM budget (256²x3+)
+        never fuse — Mosaic cannot lower sub-8 sublane blocks, so there is
+        no smaller-group fallback (fused_supported)."""
+        import jax
+
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.ops.pallas.fused_degrade import fused_supported
+        from masked_diffusion_tpu.sample.loop import _use_fused_degrade
+
+        assert fused_supported(4, 128, 128, 3)
+        assert not fused_supported(4, 256, 256, 3)
+        cfg = Config(
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+            data_size=256, out_channel=3,
+        )
+        monkeypatch.setenv("MDT_PALLAS_FUSED", "1")  # even forced
+        assert not _use_fused_degrade(cfg, "independent", "base_momentum", False)
+        monkeypatch.delenv("MDT_PALLAS_FUSED", raising=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax, "device_count", lambda: 1)
+        assert not _use_fused_degrade(cfg, "independent", "base_momentum", False)
+        assert _use_fused_degrade(
+            cfg.replace(data_size=128), "independent", "base_momentum", False
+        )
+
+    def test_fused_update_pads_sub8_batches(self):
+        """Batches not divisible by 8 are row-padded (Mosaic rejects sublane
+        blocks < 8); outputs are sliced back to the real batch. Interpret
+        mode stubs the PRNG (all-zero bits -> keep-mask all zero for
+        indexing k>0 thresholds), so this checks shape plumbing + the
+        all-degraded fill semantics, not mask distributions (those are
+        covered on real TPUs by benchmarks/check_fused_tpu.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from masked_diffusion_tpu.ops.pallas.fused_degrade import (
+            fused_degrade_update,
+        )
+
+        b, s = 5, 16
+        xt = jnp.full((b, s, s, 3), 2.0)
+        x0 = jnp.ones((b, s, s, 3))
+        amt = jnp.full((b,), float(s * s // 2))
+        amn = jnp.full((b,), float(s * s // 3))
+        out, mask = fused_degrade_update(
+            jax.random.PRNGKey(0), xt, x0, amt, amn, select="indexing",
+            mean_mode="degraded_area", rule="base_momentum", interpret=True,
+        )
+        assert out.shape == (b, s, s, 3)
+        assert mask.shape == (b, s, s, 3)
+        # zero-bit PRNG stub: the exact-k bit-scan threshold stays 0, so no
+        # pixel is below it -> masks all-keep, D(x0,t) == D(x0,t-1) == x0,
+        # and the cold-diffusion update collapses to out == xt
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xt), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mask), 1.0, atol=0)
+
+    def test_fused_gate_auto_on_indexing_single_tpu(self, monkeypatch):
+        """Auto-on (no env): indexing + TPU + single device only — the
+        measured in-loop win (docs/PERFORMANCE.md: 14.04 vs 14.51 ms/step);
+        thresholding tied and stays off; multi-device meshes stay on the
+        XLA path (pallas_call has no GSPMD partitioning rule)."""
+        import jax
+
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.sample import loop as loop_mod
+
+        cfg = Config(
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+        )
+        monkeypatch.delenv("MDT_PALLAS_FUSED", raising=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax, "device_count", lambda: 1)
+        assert loop_mod._use_fused_degrade(cfg, "independent", "base_momentum", False)
+        cfg_thr = cfg.replace(select_degrade_pixel="thresholding")
+        assert not loop_mod._use_fused_degrade(cfg_thr, "independent", "base_momentum", False)
+        monkeypatch.setattr(jax, "device_count", lambda: 8)
+        assert not loop_mod._use_fused_degrade(cfg, "independent", "base_momentum", False)
+        monkeypatch.setattr(jax, "device_count", lambda: 1)
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert not loop_mod._use_fused_degrade(cfg, "independent", "base_momentum", False)
+        # env force wins over platform gating in both directions
+        monkeypatch.setenv("MDT_PALLAS_FUSED", "1")
+        assert loop_mod._use_fused_degrade(cfg, "independent", "base_momentum", False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("MDT_PALLAS_FUSED", "0")
+        assert not loop_mod._use_fused_degrade(cfg, "independent", "base_momentum", False)

@@ -35,11 +35,22 @@ from masked_diffusion_tpu.ops.schedule import MaskSchedule
 
 Array = jnp.ndarray
 
+#: Captured ys are (T, k, H*W*C) — flattened row-major images; reshape with
+#: trajectory_images() / on the host. See the in-scan capture comment for
+#: why the 5-D form is not materialized on device (TPU minor-dim tiling).
 TRAJECTORY_FIELDS = (
     "sample_t", "shift", "shifted", "mask", "shifted_result", "sample_0",
     "degrade_mask_t", "degrade_mask_next_t", "degraded_t", "difference",
     "degraded_next_t",
 )
+
+
+def trajectory_images(buf, height: int, width: int, channels: int):
+    """Reshape one captured ys buffer (T, k, H*W*C) back to NHWC images
+    (T, k, H, W, C). Works on numpy or jax arrays; call on HOST-fetched
+    buffers — a device 5-D NHWC f32 array with C=3 is tile-padded 42x."""
+    t, k, _ = buf.shape
+    return buf.reshape(t, k, height, width, channels)
 
 
 def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
@@ -232,11 +243,20 @@ def make_sample_fn(
                 # items INSIDE the scan: the reference keeps 11 full
                 # (T+1, N, C, H, W) host buffers (sampler.py:116-126), which
                 # at T=1000 x N=100 x 64^2 would be tens of GB of HBM — only
-                # a handful of items are ever rendered
-                k = capture_items if capture_items > 0 else b
+                # a handful of items are ever rendered.
+                #
+                # Each slice is captured FLATTENED to (k, H*W*C): TPU tiles
+                # the two minor dims of every buffer to (8, 128), so stacked
+                # 5-D ys with C=3 or k=4 minor pad 42x (measured: eleven
+                # 7.81 GB buffers for an unpadded 187 MB trajectory — an
+                # instant OOM at T=1000, 64^2). H*W*C is lane-aligned for
+                # real shapes and k rides the sublane dim (k=4 -> 8, a mere
+                # 2x). Consumers reshape back to images on the host
+                # (trainer._fetch_trajectory).
+                k = min(capture_items, b) if capture_items > 0 else b
 
                 def cap(x):
-                    return jnp.broadcast_to(x, sample_t.shape)[:k]
+                    return jnp.broadcast_to(x, sample_t.shape)[:k].reshape(k, -1)
 
                 ys = {
                     "sample_t": cap(sample_t), "shift": cap(shift),

@@ -590,13 +590,23 @@ class Trainer:
     def _fetch_trajectory(self, trajectory: dict, n_items: int = 4) -> dict:
         """Collective host fetch of the trajectory image buffers, sliced to
         the first n_items on-device BEFORE transfer: the full trajectory is
-        (T, N, H, W, C) — ~3GB at the flagship config — and only n_items are
-        ever rendered. Returns {field: (n_items, T, H, W, C) numpy}."""
+        ~3GB at the flagship config — and only n_items are ever rendered.
+        Device buffers are (T, k, H*W*C) flattened rows (sample/loop.py
+        capture comment: 5-D NHWC ys tile-pad 42x on TPU and OOM at
+        T=1000 64²); images are rebuilt host-side.
+        Returns {field: (n_items, T, H, W, C) numpy}."""
+        from masked_diffusion_tpu.sample.loop import trajectory_images
+
+        cfg = self.cfg
         out = {}
         for key, buf in trajectory.items():
             if key == "means":  # per-step scalars, not an image buffer
                 continue
-            out[key] = host.fetch(buf[:, :n_items]).transpose(1, 0, 2, 3, 4)
+            flat = host.fetch(buf[:, :n_items])
+            imgs = trajectory_images(
+                flat, cfg.data_size, cfg.data_size, cfg.out_channel
+            )
+            out[key] = imgs.transpose(1, 0, 2, 3, 4)
         return out
 
     def _save_trajectory_grids(self, dirs, epoch: int, trajectory: dict) -> None:

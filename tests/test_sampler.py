@@ -113,8 +113,14 @@ class TestSampleLoop:
         out, traj = fn(params, latent, jax.random.PRNGKey(0))
         assert out.shape == latent.shape
         T = len(used)
+        # ys are captured flattened (T, k, H*W*C) — the 5-D NHWC form
+        # tile-pads 42x on TPU (sample/loop.py capture comment)
+        from masked_diffusion_tpu.sample.loop import trajectory_images
+
         for name in ("sample_t", "shift", "sample_0", "degraded_t", "difference"):
-            assert traj[name].shape == (T, N, SIZE, SIZE, 3), name
+            assert traj[name].shape == (T, N, SIZE * SIZE * 3), name
+            imgs = trajectory_images(np.asarray(traj[name]), SIZE, SIZE, 3)
+            assert imgs.shape == (T, N, SIZE, SIZE, 3), name
         # first scanned step (t=T) starts from the latent
         np.testing.assert_allclose(np.asarray(traj["sample_t"][0]), 0.1, atol=1e-6)
 

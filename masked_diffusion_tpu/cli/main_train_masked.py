@@ -122,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="narrowest output-feature width that channel-shards over the "
         "'model' axis when --mesh_model > 1 (parallel/tp.py)",
     )
+    p.add_argument(
+        "--mesh_spatial", type=str2bool, default=False,
+        help="shard activations along image height over the 'model' axis "
+        "(parallel/sp.py spatial partitioning, for images too large for one "
+        "chip's HBM) instead of channel-sharding params; needs "
+        "--mesh_model > 1",
+    )
     p.add_argument("--multihost", type=str2bool, default=False)
     p.add_argument("--capture_trajectory", type=str2bool, default=False)
     p.add_argument(
@@ -212,6 +219,12 @@ def main(argv=None) -> int:
         dataset_hist = empty_histogram()
 
     mesh_plan = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    if cfg.mesh_spatial:
+        # fail fast on topologies spatial sharding cannot serve, before any
+        # data/model work (parallel/sp.py)
+        from masked_diffusion_tpu.parallel.sp import validate_spatial
+
+        validate_spatial(mesh_plan, cfg.data_size)
     # always-on JSONL metrics sink (log/metrics.jsonl); wandb only if enabled;
     # instantiated main-process-only like the reference
     # (main_train_masked.py:313-319)

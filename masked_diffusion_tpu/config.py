@@ -97,6 +97,11 @@ class Config:
     # narrowest output-feature width that shards over 'model' (wide kernels
     # + their adamw moments and EMA leaves); only read when mesh_model > 1
     tp_min_features: int = 256
+    # spatial partitioning (parallel/sp.py): use the model axis to shard
+    # activations along image HEIGHT instead of channel-sharding the params —
+    # for resolutions where one image's activations outgrow a chip's HBM.
+    # Mutually exclusive use of the axis with TP; params stay replicated.
+    mesh_spatial: bool = False
     capture_trajectory: bool = False  # sampler keeps per-step buffers (HBM-heavy)
     # route to the interpolation sampler (Sampler.sample's 3rd arg,
     # sampler.py:102-106,264-366 — dead in the reference, live here): when

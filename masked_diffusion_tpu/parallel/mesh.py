@@ -103,17 +103,21 @@ def sync_global_devices(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def put_global_batch(plan: MeshPlan, global_batch: np.ndarray):
+def put_global_batch(plan: MeshPlan, global_batch: np.ndarray, sharding=None):
     """Form the globally batch-sharded device array from host data.
 
-    Single-process: a plain device_put with the batch sharding. Multi-host
-    (after init_distributed): each process passes the SAME logical global
-    batch; only this process's slice is touched — the reference's per-rank
-    DataLoader sharding (accelerator.prepare, main_train_masked.py:299)
-    becomes process-local slicing + jax.make_array_from_process_local_data.
+    Single-process: a plain device_put with the batch sharding (or the
+    caller's `sharding`, e.g. spatial partitioning's P('data','model') —
+    parallel/sp.py). Multi-host (after init_distributed): each process passes
+    the SAME logical global batch; only this process's slice is touched — the
+    reference's per-rank DataLoader sharding (accelerator.prepare,
+    main_train_masked.py:299) becomes process-local slicing +
+    jax.make_array_from_process_local_data.
     """
+    if sharding is None:
+        sharding = plan.batch_sharding
     if jax.process_count() == 1:
-        return jax.device_put(global_batch, plan.batch_sharding)
+        return jax.device_put(global_batch, sharding)
     # every process passes the same full global batch; with global_shape ==
     # data.shape, make_array_from_process_local_data takes each process's
     # addressable slices from the SAME coordinates of the global array — no
@@ -121,7 +125,7 @@ def put_global_batch(plan: MeshPlan, global_batch: np.ndarray):
     # process (hand-rolled contiguous slicing would silently permute rows
     # under create_device_mesh's topology-driven reordering)
     return jax.make_array_from_process_local_data(
-        plan.batch_sharding, global_batch, global_batch.shape
+        sharding, global_batch, global_batch.shape
     )
 
 

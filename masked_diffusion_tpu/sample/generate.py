@@ -57,9 +57,23 @@ def generate_images(
 
     # the Tester's fixed curriculum slice (tester.py:62)
     used = schedule.timesteps_for_epoch(1, 10, cfg.scheduler_num_scale_timesteps)
-    sample_fn = make_sample_fn(model, schedule, cfg, used)
+    # spatial partitioning (parallel/sp.py): latents carry P('data','model')
+    # and the scan body pins that layout; params replicate as in pure DP
+    latent_sharding = mesh_plan.batch_sharding if mesh_plan is not None else None
+    act_sharding = None
+    if mesh_plan is not None and cfg.mesh_spatial:
+        from masked_diffusion_tpu.parallel.sp import (
+            activation_sharding,
+            validate_spatial,
+        )
+
+        validate_spatial(mesh_plan, cfg.data_size)
+        latent_sharding = act_sharding = activation_sharding(mesh_plan)
+    sample_fn = make_sample_fn(
+        model, schedule, cfg, used, activation_sharding=act_sharding
+    )
     if mesh_plan is not None:
-        if mesh_plan.model_size > 1:
+        if mesh_plan.model_size > 1 and not cfg.mesh_spatial:
             from masked_diffusion_tpu.parallel.tp import shard_tree
 
             params = shard_tree(mesh_plan, params, cfg.tp_min_features)
@@ -79,8 +93,8 @@ def generate_images(
             k_lat, batch, cfg.out_channel, cfg.data_size,
             cfg.sample_latent_shape, cfg.mean_area, dataset_hist,
         )
-        if mesh_plan is not None:
-            latent = jax.device_put(latent, mesh_plan.batch_sharding)
+        if latent_sharding is not None:
+            latent = jax.device_put(latent, latent_sharding)
         out = sample_fn(params, latent, k_samp)
         sample = out[0] if isinstance(out, tuple) else out
         chunks.append(np.asarray(sample))  # host fetch = true sync

@@ -108,6 +108,7 @@ def make_sample_fn(
     capture_trajectory: bool = False,
     capture_items: int = 0,
     compute_dtype=None,
+    activation_sharding=None,
 ) -> Callable:
     """Build sample(params, latent, key) -> sample_0 [, trajectory dict].
 
@@ -115,6 +116,10 @@ def make_sample_fn(
     scan walks it in reverse. Pass EMA params for EMA sampling — the
     reference's store/copy_to/restore swap (trainer_masked_mean_shift.py:
     412-419) is unnecessary in a functional world.
+
+    `activation_sharding` (a NamedSharding, parallel/sp.py) pins the carried
+    sample's layout each step — spatial partitioning shards H over the
+    'model' axis and the constraint keeps the whole scan in that layout.
     """
     used = np.asarray(used_timesteps, dtype=np.int32)
     n_steps = int(len(used))
@@ -157,6 +162,10 @@ def make_sample_fn(
     def sample_impl(params, latent, key):
         def body(carry, i):
             sample_t, _, mask_next_prev, momentum, key = carry
+            if activation_sharding is not None:
+                sample_t = jax.lax.with_sharding_constraint(
+                    sample_t, activation_sharding
+                )
             b = sample_t.shape[0]
             t = jnp.take(ts_dev, i)
             tvec = jnp.broadcast_to(t, (b,)).astype(jnp.int32)

@@ -74,6 +74,7 @@ def make_train_step(
     used_timesteps: np.ndarray,
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
+    activation_sharding=None,
 ) -> Callable:
     """Build the jitted train step for one curriculum section.
 
@@ -81,6 +82,10 @@ def make_train_step(
     baked in as a compile-time constant — the curriculum produces at most
     `scheduler_num_scale_timesteps` distinct lists per run, so recompiles are
     bounded and each section's program is fully static.
+
+    `activation_sharding` (a NamedSharding, parallel/sp.py) pins the UNet
+    input's layout with a with_sharding_constraint — spatial partitioning
+    relies on it so XLA's propagation cannot all-gather H and run replicated.
     """
     used_dev = jnp.asarray(used_timesteps, dtype=jnp.int32)
     n_used = int(len(used_timesteps))
@@ -120,6 +125,9 @@ def make_train_step(
         else:
             shift = jnp.zeros((), jnp.float32)
             net_in = degraded
+
+        if activation_sharding is not None:
+            net_in = jax.lax.with_sharding_constraint(net_in, activation_sharding)
 
         t_float = timesteps.astype(jnp.float32)
 

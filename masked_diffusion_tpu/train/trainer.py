@@ -92,6 +92,10 @@ class Trainer:
         from masked_diffusion_tpu.config import validate_sampling_modes
 
         validate_sampling_modes(cfg)
+        if cfg.mesh_spatial and mesh_plan is not None:
+            from masked_diffusion_tpu.parallel.sp import validate_spatial
+
+            validate_spatial(mesh_plan, cfg.data_size)
 
         self.schedule = schedule or build_schedule(
             cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
@@ -133,14 +137,27 @@ class Trainer:
     def _place_state(self, state: TrainState) -> TrainState:
         """Put the TrainState onto the mesh: with --mesh_model > 1, wide
         kernels + their adamw moments and EMA leaves channel-shard over the
-        'model' axis (parallel/tp.py); otherwise everything replicates."""
+        'model' axis (parallel/tp.py); otherwise everything replicates.
+        With --mesh_spatial the model axis shards ACTIVATIONS instead
+        (parallel/sp.py), so the state replicates exactly as in pure DP."""
         if self.mesh_plan is None:
             return state
-        if self.mesh_plan.model_size > 1:
+        if self.mesh_plan.model_size > 1 and not self.cfg.mesh_spatial:
             from masked_diffusion_tpu.parallel.tp import shard_tree
 
             return shard_tree(self.mesh_plan, state, self.cfg.tp_min_features)
         return jax.device_put(state, self.mesh_plan.replicated)
+
+    def _batch_sharding(self):
+        """Sharding for NHWC batches/latents: P('data') for DP/TP, or
+        P('data','model') under --mesh_spatial (parallel/sp.py)."""
+        if self.mesh_plan is None:
+            return None
+        if self.cfg.mesh_spatial:
+            from masked_diffusion_tpu.parallel.sp import activation_sharding
+
+            return activation_sharding(self.mesh_plan)
+        return self.mesh_plan.batch_sharding
 
     # ------------------------------------------------------------------ resume
     def restore(self, path: str) -> int:
@@ -173,7 +190,11 @@ class Trainer:
         key = tuple(int(t) for t in used)
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
-                self.model, self.schedule, self.cfg, self.tx, used, self.lr_schedule
+                self.model, self.schedule, self.cfg, self.tx, used,
+                self.lr_schedule,
+                activation_sharding=(
+                    self._batch_sharding() if self.cfg.mesh_spatial else None
+                ),
             )
         return self._step_cache[key]
 
@@ -188,6 +209,9 @@ class Trainer:
                 # only _save_trajectory_grids' n_items are ever rendered; the
                 # in-scan slice keeps trajectory HBM bounded at flagship T
                 capture_items=4 if capture else 0,
+                activation_sharding=(
+                    self._batch_sharding() if self.cfg.mesh_spatial else None
+                ),
             )
         return self._sample_cache[key]
 
@@ -203,7 +227,9 @@ class Trainer:
         if self.mesh_plan is not None:
             from masked_diffusion_tpu.parallel.mesh import put_global_batch
 
-            return put_global_batch(self.mesh_plan, batch)
+            return put_global_batch(
+                self.mesh_plan, batch, sharding=self._batch_sharding()
+            )
         return jnp.asarray(batch)
 
     # ------------------------------------------------------------------ train
@@ -530,7 +556,7 @@ class Trainer:
             self.cfg.sample_latent_shape, self.cfg.mean_area, self.dataset_hist,
         )
         if self.mesh_plan is not None:
-            latent = jax.device_put(latent, self.mesh_plan.batch_sharding)
+            latent = jax.device_put(latent, self._batch_sharding())
         return latent, num
 
     def sample_ema(

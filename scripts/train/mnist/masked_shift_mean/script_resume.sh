@@ -46,6 +46,7 @@ python -m masked_diffusion_tpu.cli.main_train_masked \
     --mesh_data "${MDT_MESH_DATA:--1}" \
     --mesh_model "${MDT_MESH_MODEL:-1}" \
     --tp_min_features "${MDT_TP_MIN_FEATURES:-256}" \
+    --mesh_spatial "${MDT_MESH_SPATIAL:-False}" \
     --multihost "${MDT_MULTIHOST:-False}" \
     --use_wandb "${MDT_USE_WANDB:-False}" \
     --use_mlflow False

@@ -287,6 +287,152 @@ class TestTensorParallel:
         np.testing.assert_allclose(out_single, out_tp, atol=2e-5)
 
 
+class TestSpatialPartition:
+    """The model axis's OTHER use (parallel/sp.py): activations sharded along
+    image height, params replicated — the SURVEY §5 extension path for images
+    whose activations outgrow one chip's HBM. GSPMD inserts the conv halo
+    exchanges; numerics must match the single-device run."""
+
+    def _setup(self, batch=8, size=16):
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.ops.schedule import build_schedule
+        from masked_diffusion_tpu.train import (
+            build_lr_schedule,
+            build_optimizer,
+            create_train_state,
+            make_train_step,
+        )
+
+        cfg = Config(
+            method="mean_shift", data_size=size, ddpm_schedule="log",
+            ddpm_num_steps=6, select_degrade_pixel="indexing",
+            degrade_channel="1-channel", mean_option="degraded_area",
+            mean_area="image-wise", shift_type="1-d_constant",
+            momentum_adaptive="base_momentum",
+            sampling_mask_dependency="independent", use_ema=True,
+            mesh_spatial=True,
+        )
+        schedule = build_schedule("log", 6, size, "indexing")
+        model = build_unet(
+            dim_channel=3, dim_height=size, dim_width=size, num_attention=1,
+            block_out_channels=(8, 16), layers_per_block=1,
+        )
+        lr = build_lr_schedule("constant", 1e-3, 0, 100)
+        tx = build_optimizer("adamw", lr)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (batch, size, size, 3), tx
+        )
+        used = schedule.timesteps_for_epoch(0, 10, 1)
+        return cfg, schedule, model, tx, state, used, make_train_step, lr
+
+    def test_validate_spatial_errors(self):
+        from masked_diffusion_tpu.parallel.sp import validate_spatial
+
+        with pytest.raises(ValueError, match="mesh_model"):
+            validate_spatial(make_mesh(data=8, model=1), 16)
+        with pytest.raises(ValueError, match="divisible"):
+            validate_spatial(make_mesh(data=2, model=4), 10)
+        validate_spatial(make_mesh(data=2, model=4), 16)  # ok
+
+    def test_spatial_batch_placement(self):
+        from jax.sharding import PartitionSpec as P
+        from masked_diffusion_tpu.parallel.mesh import put_global_batch
+        from masked_diffusion_tpu.parallel.sp import activation_sharding
+
+        plan = make_mesh(data=2, model=4)
+        sp = activation_sharding(plan)
+        assert sp.spec == P("data", "model")
+        x = np.arange(4 * 16 * 16 * 3, dtype=np.float32).reshape(4, 16, 16, 3)
+        xs = put_global_batch(plan, x, sharding=sp)
+        assert len(xs.addressable_shards) == 8
+        # each shard holds a (batch/2, H/4) tile
+        assert xs.addressable_shards[0].data.shape == (2, 4, 16, 3)
+        np.testing.assert_array_equal(np.asarray(xs), x)
+
+    def test_sp_train_step_matches_single_device(self):
+        """Two SP train steps (batch over 'data', H over 'model', params
+        replicated) match the single-device run — XLA's halo exchanges and
+        cross-shard norm/loss reductions must not change the math."""
+        from masked_diffusion_tpu.parallel.sp import activation_sharding
+
+        batch, size = 8, 16
+        cfg, schedule, model, tx, state, used, make_step, lr = self._setup(
+            batch, size
+        )
+        batch_host = np.random.default_rng(0).uniform(
+            -1, 1, (batch, size, size, 3)
+        ).astype(np.float32)
+        k1, k2 = jax.random.PRNGKey(7), jax.random.PRNGKey(8)
+
+        step_ref = make_step(model, schedule, cfg, tx, used, lr, donate=False)
+        s_single, _ = step_ref(state, jnp.asarray(batch_host), k1)
+        s_single, m2_single = step_ref(s_single, jnp.asarray(batch_host), k2)
+
+        plan = make_mesh(data=2, model=4)
+        sp = activation_sharding(plan)
+        step_sp = make_step(
+            model, schedule, cfg, tx, used, lr, donate=False,
+            activation_sharding=sp,
+        )
+        st = jax.device_put(state, plan.replicated)
+        batch_s = jax.device_put(batch_host, sp)
+        s_sp, _ = step_sp(st, batch_s, jax.device_put(k1, plan.replicated))
+        s_sp, m2_sp = step_sp(s_sp, batch_s, jax.device_put(k2, plan.replicated))
+
+        assert float(m2_single["train_loss"]) == pytest.approx(
+            float(m2_sp["train_loss"]), rel=1e-4
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_single.params), jax.tree.leaves(s_sp.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_sp_sample_scan_matches_single_device(self):
+        from masked_diffusion_tpu.parallel.sp import activation_sharding
+        from masked_diffusion_tpu.sample import make_sample_fn
+
+        batch, size = 8, 16
+        cfg, schedule, model, _, state, used, _, _ = self._setup(batch, size)
+        latent = np.full((batch, size, size, 3), 0.1, np.float32)
+        key = jax.random.PRNGKey(3)
+
+        fn_ref = make_sample_fn(model, schedule, cfg, used)
+        out_single = np.asarray(fn_ref(state.params, jnp.asarray(latent), key))
+
+        plan = make_mesh(data=2, model=4)
+        sp = activation_sharding(plan)
+        fn_sp = make_sample_fn(
+            model, schedule, cfg, used, activation_sharding=sp
+        )
+        out_sp = np.asarray(fn_sp(
+            jax.device_put(state.params, plan.replicated),
+            jax.device_put(latent, sp),
+            jax.device_put(key, plan.replicated),
+        ))
+        np.testing.assert_allclose(out_single, out_sp, atol=2e-5)
+
+    def test_trainer_rejects_bad_spatial_topology(self, tmp_path):
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.data.datasets import get_dataset
+        from masked_diffusion_tpu.train.trainer import Trainer
+
+        size = 8
+        cfg = Config(
+            method="base", data_name="synthetic", data_size=size,
+            data_subset=True, data_subset_num=16, batch_size=8, num_epochs=1,
+            ddpm_schedule="log", ddpm_num_steps=4,
+            select_degrade_pixel="indexing", mean_option="degraded_area",
+            mean_area="image-wise", shift_type="non_shift",
+            block_out_channels=(8, 16), layers_per_block=1,
+            use_wandb=False, use_mlflow=False, dir_work=str(tmp_path),
+            mesh_spatial=True,
+        )
+        dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=16)
+        with pytest.raises(ValueError, match="mesh_model"):
+            Trainer(cfg, dataset, mesh_plan=make_mesh())  # model axis = 1
+
+
 def test_any_flag_single_process():
     from masked_diffusion_tpu.utils.host import any_flag
 

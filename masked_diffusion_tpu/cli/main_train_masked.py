@@ -292,7 +292,10 @@ def main(argv=None) -> int:
         params, ema, _, _ = load_checkpoint(
             cfg.test_model_path, state.params, state.ema_params, None
         )
-        tester = Tester(cfg, dataset, model, params, ema, dataset_hist=dataset_hist)
+        tester = Tester(
+            cfg, dataset, model, params, ema, dataset_hist=dataset_hist,
+            mesh_plan=mesh_plan,
+        )
         tester.run(dirs)
     elif method == "sample":
         # standalone generation (serving path, sample/generate.py): the

@@ -111,12 +111,18 @@ class Tester:
         ema_params=None,
         schedule: Optional[MaskSchedule] = None,
         dataset_hist=None,
+        mesh_plan=None,
     ):
         self.cfg = cfg
         self.dataset = dataset
         self.model = model
+        self.mesh_plan = mesh_plan
         # the reference samples with EMA weights swapped in (tester.py:87-93)
         self.params = ema_params if ema_params is not None else params
+        if mesh_plan is not None:
+            # commit the params to the mesh so the sampling scan runs sharded
+            # (the same placement generate_images gives its params)
+            self.params = jax.device_put(self.params, mesh_plan.replicated)
         self.schedule = schedule or build_schedule(
             cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
             cfg.select_degrade_pixel, cfg.ddpm_schedule_base,
@@ -134,13 +140,24 @@ class Tester:
     def _sample_batch(self, key) -> np.ndarray:
         cfg = self.cfg
         k_lat, k_samp = jax.random.split(key)
+        # mesh-correct latents, like Trainer._cadence_latent: round the batch
+        # up to the data-axis multiple, commit onto the batch sharding, trim
+        # the result (sample_num=100 on an 8-way mesh would otherwise be an
+        # uncommitted host array whose placement is left to GSPMD)
+        num = cfg.sample_num
+        padded = num
+        if self.mesh_plan is not None:
+            mult = self.mesh_plan.data_size
+            padded = -(-num // mult) * mult
         latent = latent_initial(
-            k_lat, cfg.sample_num, cfg.out_channel, cfg.data_size,
+            k_lat, padded, cfg.out_channel, cfg.data_size,
             cfg.sample_latent_shape, cfg.mean_area, self.dataset_hist,
         )
+        if self.mesh_plan is not None:
+            latent = jax.device_put(latent, self.mesh_plan.batch_sharding)
         out = self._sample_fn(self.params, latent, k_samp)
         sample = out[0] if isinstance(out, tuple) else out
-        return np.asarray(sample)
+        return np.asarray(sample)[:num]
 
     def run(self, dirs=None, max_rounds: int = 1000, key=None) -> dict:
         """Sampling / dedup / matching loop (tester.py:57-133)."""

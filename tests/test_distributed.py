@@ -528,6 +528,43 @@ def test_cadence_sampling_is_mesh_sharded(tmp_path):
     assert sample.shape == (5, size, size, 3)  # trimmed back
 
 
+def test_tester_sampling_is_mesh_sharded():
+    """Tester._sample_batch rounds its latent batch to the mesh data size,
+    commits it onto batch_sharding, and trims back to sample_num — the same
+    mesh discipline as Trainer._cadence_latent / generate_images."""
+    import jax.numpy as jnp
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.data.datasets import get_dataset
+    from masked_diffusion_tpu.models import build_unet
+    from masked_diffusion_tpu.tester import Tester
+
+    size = 8
+    cfg = Config(
+        method="base", data_name="synthetic", data_size=size,
+        data_subset=True, data_subset_num=8, batch_size=8,
+        ddpm_schedule="log", ddpm_num_steps=4, select_degrade_pixel="indexing",
+        degrade_channel="1-channel", mean_option="degraded_area",
+        mean_area="image-wise", shift_type="non_shift",
+        sample_latent_shape="zero", sample_num=5,
+        block_out_channels=(8, 16), layers_per_block=1,
+    )
+    dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=8)
+    model = build_unet(dim_channel=3, dim_height=size, dim_width=size,
+                       num_attention=1, block_out_channels=(8, 16),
+                       layers_per_block=1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), jnp.zeros((1,))
+    )
+    plan = make_mesh()  # 8-way data axis; sample_num=5 doesn't divide it
+    tester = Tester(cfg, dataset, model, params, mesh_plan=plan)
+    # params committed replicated across the mesh
+    leaf = jax.tree.leaves(tester.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    batch = tester._sample_batch(jax.random.PRNGKey(1))
+    assert batch.shape == (5, size, size, 3)  # trimmed back to sample_num
+    assert np.isfinite(batch).all()
+
+
 def test_interpolation_sampler_mesh_sharded(tmp_path):
     """make_interpolation_sample_fn pads the latent grid to the mesh and trims
     the returned sweep back to sample_num."""

@@ -129,6 +129,15 @@ def put_global_batch(plan: MeshPlan, global_batch: np.ndarray, sharding=None):
     )
 
 
+def round_up(n: int, multiple: int) -> int:
+    """Smallest multiple of `multiple` >= n — the batch round-up every
+    mesh-sharded latent path shares (generate_images, Trainer._cadence_latent,
+    Tester._sample_batch, interpolation)."""
+    if multiple <= 1:
+        return n
+    return -(-n // multiple) * multiple
+
+
 def pad_to_multiple(batch: np.ndarray, multiple: int):
     """Pad a host batch so its leading dim divides the data axis; returns
     (padded, real_count)."""

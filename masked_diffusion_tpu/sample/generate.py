@@ -51,9 +51,11 @@ def generate_images(
     """
     num = int(num_images or cfg.sample_num)
     batch = int(batch_size or min(num, cfg.batch_size))
-    if mesh_plan is not None and batch % mesh_plan.data_size != 0:
+    if mesh_plan is not None:
         # the mesh shards the batch axis; round up so every chip gets a slice
-        batch = int(math.ceil(batch / mesh_plan.data_size) * mesh_plan.data_size)
+        from masked_diffusion_tpu.parallel.mesh import round_up
+
+        batch = round_up(batch, mesh_plan.data_size)
 
     # the Tester's fixed curriculum slice (tester.py:62)
     used = schedule.timesteps_for_epoch(1, 10, cfg.scheduler_num_scale_timesteps)

@@ -60,18 +60,37 @@ def make_interpolation_sample_fn(
     latent, mu = latent_initial_interpolation(
         num, cfg.out_channel, cfg.data_size, interpolation_shift
     )
+    # under --mesh_spatial the latent carries P('data','model') and the scan
+    # body pins that layout, like sample/loop.py (parallel/sp.py); mu is
+    # per-image (not image-shaped) and stays on the data axis either way
+    act_sharding = None
     if mesh_plan is not None:
         mult = mesh_plan.data_size
         if num % mult:
             pad = mult - num % mult
             latent = jnp.concatenate([latent, jnp.repeat(latent[-1:], pad, axis=0)])
             mu = jnp.concatenate([mu, jnp.repeat(mu[-1:], pad, axis=0)])
-        latent = jax.device_put(latent, mesh_plan.batch_sharding)
+        latent_sharding = mesh_plan.batch_sharding
+        if cfg.mesh_spatial:
+            from masked_diffusion_tpu.parallel.sp import (
+                activation_sharding,
+                validate_spatial,
+            )
+
+            validate_spatial(mesh_plan, cfg.data_size)
+            latent_sharding = act_sharding = activation_sharding(mesh_plan)
+        latent = jax.device_put(latent, latent_sharding)
         mu = jax.device_put(mu, mesh_plan.batch_sharding)
 
     def sample_impl(params, key):
         def body(carry, i):
             sample_t, _, mask_next_prev, momentum, key = carry
+            if act_sharding is not None:
+                # pin every image-shaped carry to the SP layout (sample/loop.py)
+                sample_t, mask_next_prev, momentum = (
+                    jax.lax.with_sharding_constraint(x, act_sharding)
+                    for x in (sample_t, mask_next_prev, momentum)
+                )
             b = sample_t.shape[0]
             t = jnp.take(ts_dev, i)
             tvec = jnp.broadcast_to(t, (b,)).astype(jnp.int32)

@@ -163,8 +163,13 @@ def make_sample_fn(
         def body(carry, i):
             sample_t, _, mask_next_prev, momentum, key = carry
             if activation_sharding is not None:
-                sample_t = jax.lax.with_sharding_constraint(
-                    sample_t, activation_sharding
+                # pin EVERY image-shaped carry, not just sample_t: the mask/
+                # momentum buffers would otherwise be free for propagation to
+                # replicate (the degrade sorts gather over H*W), and per-chip
+                # HBM would still scale with full H for them
+                sample_t, mask_next_prev, momentum = (
+                    jax.lax.with_sharding_constraint(x, activation_sharding)
+                    for x in (sample_t, mask_next_prev, momentum)
                 )
             b = sample_t.shape[0]
             t = jnp.take(ts_dev, i)

@@ -119,10 +119,30 @@ class Tester:
         self.mesh_plan = mesh_plan
         # the reference samples with EMA weights swapped in (tester.py:87-93)
         self.params = ema_params if ema_params is not None else params
+        # mesh placement mirrors generate_images (sample/generate.py): TP
+        # meshes channel-shard the params, SP shards activations along H with
+        # the params replicated, plain DP replicates everything
+        self._latent_sharding = None
+        act_sharding = None
         if mesh_plan is not None:
-            # commit the params to the mesh so the sampling scan runs sharded
-            # (the same placement generate_images gives its params)
-            self.params = jax.device_put(self.params, mesh_plan.replicated)
+            self._latent_sharding = mesh_plan.batch_sharding
+            if cfg.mesh_spatial:
+                from masked_diffusion_tpu.parallel.sp import (
+                    activation_sharding,
+                    validate_spatial,
+                )
+
+                validate_spatial(mesh_plan, cfg.data_size)
+                self._latent_sharding = act_sharding = activation_sharding(
+                    mesh_plan
+                )
+                self.params = jax.device_put(self.params, mesh_plan.replicated)
+            elif mesh_plan.model_size > 1:
+                from masked_diffusion_tpu.parallel.tp import shard_tree
+
+                self.params = shard_tree(mesh_plan, self.params, cfg.tp_min_features)
+            else:
+                self.params = jax.device_put(self.params, mesh_plan.replicated)
         self.schedule = schedule or build_schedule(
             cfg.ddpm_schedule, cfg.ddpm_num_steps, cfg.data_size,
             cfg.select_degrade_pixel, cfg.ddpm_schedule_base,
@@ -134,27 +154,29 @@ class Tester:
             1, 10, cfg.scheduler_num_scale_timesteps
         )
         self._sample_fn = make_sample_fn(
-            self.model, self.schedule, cfg, self.timesteps_used_epoch
+            self.model, self.schedule, cfg, self.timesteps_used_epoch,
+            activation_sharding=act_sharding,
         )
 
     def _sample_batch(self, key) -> np.ndarray:
         cfg = self.cfg
         k_lat, k_samp = jax.random.split(key)
         # mesh-correct latents, like Trainer._cadence_latent: round the batch
-        # up to the data-axis multiple, commit onto the batch sharding, trim
+        # up to the data-axis multiple, commit onto the mesh sharding, trim
         # the result (sample_num=100 on an 8-way mesh would otherwise be an
         # uncommitted host array whose placement is left to GSPMD)
+        from masked_diffusion_tpu.parallel.mesh import round_up
+
         num = cfg.sample_num
         padded = num
         if self.mesh_plan is not None:
-            mult = self.mesh_plan.data_size
-            padded = -(-num // mult) * mult
+            padded = round_up(num, self.mesh_plan.data_size)
         latent = latent_initial(
             k_lat, padded, cfg.out_channel, cfg.data_size,
             cfg.sample_latent_shape, cfg.mean_area, self.dataset_hist,
         )
-        if self.mesh_plan is not None:
-            latent = jax.device_put(latent, self.mesh_plan.batch_sharding)
+        if self._latent_sharding is not None:
+            latent = jax.device_put(latent, self._latent_sharding)
         out = self._sample_fn(self.params, latent, k_samp)
         sample = out[0] if isinstance(out, tuple) else out
         return np.asarray(sample)[:num]

@@ -547,10 +547,11 @@ class Trainer:
         (sample/generate.py:54-56,82-83). Without this, a default
         sample_num=100 on an 8-way mesh is an uncommitted host array whose
         placement is left to GSPMD. Returns (latent, real_num)."""
+        from masked_diffusion_tpu.parallel.mesh import round_up
+
         padded = num
         if self.mesh_plan is not None:
-            mult = self.mesh_plan.data_size
-            padded = -(-num // mult) * mult
+            padded = round_up(num, self.mesh_plan.data_size)
         latent = latent_initial(
             key, padded, self.cfg.out_channel, self.cfg.data_size,
             self.cfg.sample_latent_shape, self.cfg.mean_area, self.dataset_hist,

@@ -564,6 +564,30 @@ def test_tester_sampling_is_mesh_sharded():
     assert batch.shape == (5, size, size, 3)  # trimmed back to sample_num
     assert np.isfinite(batch).all()
 
+    # TP mesh: params channel-shard exactly as generate_images places them
+    from jax.sharding import PartitionSpec as P
+
+    plan_tp = make_mesh(data=2, model=4)
+    tester_tp = Tester(
+        cfg.replace(tp_min_features=8), dataset, model, params,
+        mesh_plan=plan_tp,
+    )
+    specs = {leaf.sharding.spec for leaf in jax.tree.leaves(tester_tp.params)}
+    assert P(None, None, None, "model") in specs  # wide conv kernels sharded
+    batch = tester_tp._sample_batch(jax.random.PRNGKey(2))
+    assert batch.shape == (5, size, size, 3)
+
+    # SP mesh: latents carry P('data','model') and the scan still runs
+    plan_sp = make_mesh(data=2, model=4)
+    tester_sp = Tester(
+        cfg.replace(mesh_spatial=True), dataset, model, params,
+        mesh_plan=plan_sp,
+    )
+    assert tester_sp._latent_sharding.spec == P("data", "model")
+    batch = tester_sp._sample_batch(jax.random.PRNGKey(3))
+    assert batch.shape == (5, size, size, 3)
+    assert np.isfinite(batch).all()
+
 
 def test_interpolation_sampler_mesh_sharded(tmp_path):
     """make_interpolation_sample_fn pads the latent grid to the mesh and trims
@@ -595,3 +619,13 @@ def test_interpolation_sampler_mesh_sharded(tmp_path):
     assert sample.shape == (5, size, size, 3)
     assert mu.shape[0] == 5
     assert np.isfinite(np.asarray(sample)).all()
+
+    # SP mesh: the interpolation scan also pins the H-sharded layout
+    plan_sp = make_mesh(data=2, model=4)
+    fn_sp = make_interpolation_sample_fn(
+        model, schedule, cfg.replace(mesh_spatial=True), used, 0.2,
+        mesh_plan=plan_sp,
+    )
+    sample_sp, mu_sp = fn_sp(params, jax.random.PRNGKey(2))
+    assert sample_sp.shape == (5, size, size, 3)
+    assert np.isfinite(np.asarray(sample_sp)).all()

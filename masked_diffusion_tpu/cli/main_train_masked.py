@@ -148,6 +148,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep only the N newest checkpoint-epoch-* dirs (0 = keep all, "
         "the reference behavior)",
     )
+    p.add_argument(
+        "--async_checkpoints", type=str2bool, default=False,
+        help="commit cadence checkpoint writes in background threads instead "
+        "of stalling the train loop (orbax async save; preemption and "
+        "post-mortem saves stay synchronous)",
+    )
     return p
 
 

@@ -114,6 +114,10 @@ class Config:
     # (0 = keep all, the reference behavior — its cadence saves accumulate
     # unboundedly, trainer_masked_mean_shift.py:268-269)
     keep_last_checkpoints: int = 0
+    # cadence checkpoint writes commit in background threads instead of
+    # stalling the train loop (io/checkpoint.py:save_checkpoint async_save;
+    # the reference blocks on the whole accelerator.save_state)
+    async_checkpoints: bool = False
 
     # ------------------------------------------------------------------ helpers
     @property

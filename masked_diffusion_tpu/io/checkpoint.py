@@ -21,6 +21,30 @@ import orbax.checkpoint as ocp
 
 _CKPT_RE = re.compile(r"checkpoint-(?:epoch-)?(\d+)$")
 
+# long-lived per-item checkpointers for async saves: StandardCheckpointer IS
+# an orbax AsyncCheckpointer — save() returns after the device->host copy and
+# the disk write runs in a background thread; one checkpointer per item name
+# lets the three item writes of one checkpoint overlap, while each NEW save
+# only waits for the same item's previous (long-finished by the next cadence)
+# write. They must outlive the saves, hence module scope.
+_ASYNC_CKPTRS: dict = {}
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed.
+    Call before process exit (Trainer.train does, in its finally block) —
+    an abandoned background write leaves a tmp dir the latest-scan skips."""
+    for c in _ASYNC_CKPTRS.values():
+        c.wait_until_finished()
+
+
+def _checkpointer(item: str, async_save: bool):
+    if not async_save:
+        return ocp.StandardCheckpointer()
+    if item not in _ASYNC_CKPTRS:
+        _ASYNC_CKPTRS[item] = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTRS[item]
+
 
 def save_checkpoint(
     checkpoint_dir: str,
@@ -32,6 +56,7 @@ def save_checkpoint(
     extra_meta: Optional[dict] = None,
     history: Optional[dict] = None,
     keep_last: int = 0,
+    async_save: bool = False,
 ) -> str:
     """Write checkpoint-epoch-{epoch}/ under checkpoint_dir.
 
@@ -45,6 +70,12 @@ def save_checkpoint(
     reference's behavior (its cadence saves accumulate unboundedly,
     trainer_masked_mean_shift.py:268-269); the knob exists because a 50k-epoch
     workload otherwise writes thousands of ~GB checkpoints.
+
+    `async_save` returns after the device->host copy and commits the ~GB
+    disk writes in background threads (the reference blocks training for the
+    whole accelerator.save_state). Orbax finalizes atomically (tmp dir +
+    rename), `find_resume_checkpoint` skips uncommitted dirs, and
+    `wait_for_async_saves()` drains in-flight writes before process exit.
     """
     from masked_diffusion_tpu.utils.host import is_main_process
 
@@ -53,13 +84,21 @@ def save_checkpoint(
     # saves below are COLLECTIVE — every process must make these calls
     # (orbax coordinates the per-shard writes internally)
     os.makedirs(path, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "unet"), params, force=True)
+    pending = []
+
+    def _save(sub: str, tree: Any) -> None:
+        c = _checkpointer(sub, async_save)
+        c.save(os.path.join(path, sub), tree, force=True)
+        pending.append(c)
+
+    _save("unet", params)
     if ema_params is not None:
-        ckptr.save(os.path.join(path, "unet_ema"), ema_params, force=True)
+        _save("unet_ema", ema_params)
     if opt_state is not None:
-        ckptr.save(os.path.join(path, "optimizer"), opt_state, force=True)
-    ckptr.wait_until_finished()
+        _save("optimizer", opt_state)
+    if not async_save:
+        for c in pending:
+            c.wait_until_finished()
     if is_main_process():  # sidecar files: process 0 only (utils/host.py)
         meta = {"epoch": int(epoch), "global_step": int(global_step)}
         if extra_meta:
@@ -134,10 +173,20 @@ def load_checkpoint(
     return params, ema, opt_state, meta
 
 
+def is_complete_checkpoint(path: str) -> bool:
+    """A checkpoint dir is loadable once its orbax 'unet' save is FINALIZED
+    (orbax writes to a tmp dir and renames atomically on commit). A crash —
+    or an in-flight async save — leaves the dir without a final unet/, and
+    the latest-scan must not resume from it."""
+    unet = os.path.join(path, "unet")
+    return os.path.isdir(unet) and not ocp.utils.is_tmp_checkpoint(unet)
+
+
 def find_resume_checkpoint(output_dir: str, resume_from: str = "latest") -> Optional[str]:
     """Resolve --resume_from_checkpoint (main_train_masked.py:250-277):
-    'latest' scans output_dir for checkpoint-* sorted by trailing int;
-    otherwise the given path is used directly."""
+    'latest' scans output_dir for checkpoint-* sorted by trailing int,
+    skipping incomplete (crashed / still-writing) checkpoints; otherwise the
+    given path is used directly."""
     if resume_from not in ("latest", "True", True):
         return resume_from if os.path.isdir(str(resume_from)) else None
     if not os.path.isdir(output_dir):
@@ -145,7 +194,8 @@ def find_resume_checkpoint(output_dir: str, resume_from: str = "latest") -> Opti
     cands = []
     for d in os.listdir(output_dir):
         m = _CKPT_RE.search(d)
-        if m and os.path.isdir(os.path.join(output_dir, d)):
+        full = os.path.join(output_dir, d)
+        if m and os.path.isdir(full) and is_complete_checkpoint(full):
             cands.append((int(m.group(1)), d))
     if not cands:
         return None

@@ -282,6 +282,11 @@ class Trainer:
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
+            # drain in-flight async checkpoint writes before returning —
+            # an abandoned background write would leave only a tmp dir
+            from masked_diffusion_tpu.io.checkpoint import wait_for_async_saves
+
+            wait_for_async_saves()
         return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
 
     def _train_epochs(
@@ -452,6 +457,10 @@ class Trainer:
                         # opt-in retention; the non-finite post-mortem save
                         # above never prunes (forensic state stays put)
                         keep_last=cfg.keep_last_checkpoints,
+                        # cadence saves may write in background (the
+                        # preemption/post-mortem saves above stay sync: they
+                        # must commit before the process exits)
+                        async_save=cfg.async_checkpoints,
                     )
 
         return last_metrics

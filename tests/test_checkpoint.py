@@ -69,6 +69,63 @@ class TestResumeScan:
         assert find_resume_checkpoint(str(tmp_path), "latest") is None
         assert find_resume_checkpoint(str(tmp_path / "nope"), "latest") is None
 
+    def test_latest_skips_incomplete(self, tmp_path):
+        """A crashed (or still-writing async) save leaves a dir without a
+        finalized unet/ — the latest-scan must fall back to the newest
+        COMPLETE checkpoint instead of resuming from garbage."""
+        params = _tree(0)
+        save_checkpoint(str(tmp_path), 3, 30, params)
+        # epoch 9: dir exists, unet/ never committed (crash mid-write)
+        os.makedirs(tmp_path / "checkpoint-epoch-9")
+        # epoch 12: only an orbax tmp dir (async write in flight)
+        os.makedirs(
+            tmp_path / "checkpoint-epoch-12" / "unet.orbax-checkpoint-tmp-123"
+        )
+        latest = find_resume_checkpoint(str(tmp_path), "latest")
+        assert latest.endswith("checkpoint-epoch-3")
+
+
+class TestAsyncSave:
+    def test_async_roundtrip_bitwise(self, tmp_path):
+        """async_save returns before the disk write commits;
+        wait_for_async_saves drains it and the checkpoint loads bitwise."""
+        from masked_diffusion_tpu.io.checkpoint import wait_for_async_saves
+
+        params, ema = _tree(1), _tree(2)
+        opt = {"mu": _tree(3)}
+        path = save_checkpoint(
+            str(tmp_path), 4, 400, params, ema, opt, async_save=True
+        )
+        wait_for_async_saves()
+        assert find_resume_checkpoint(str(tmp_path), "latest") == path
+        p2, e2, o2, meta = load_checkpoint(
+            path, jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, ema),
+            jax.tree.map(jnp.zeros_like, opt),
+        )
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(o2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert meta["global_step"] == 400
+
+    def test_async_back_to_back_saves(self, tmp_path):
+        """Consecutive async saves are safe: each new save waits for the same
+        item's previous write, so retention pruning only ever sees committed
+        dirs."""
+        from masked_diffusion_tpu.io.checkpoint import wait_for_async_saves
+
+        for epoch in (1, 2, 3):
+            save_checkpoint(
+                str(tmp_path), epoch, epoch, _tree(epoch),
+                keep_last=2, async_save=True,
+            )
+        wait_for_async_saves()
+        dirs = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
+        assert dirs == ["checkpoint-epoch-2", "checkpoint-epoch-3"]
+        latest = find_resume_checkpoint(str(tmp_path), "latest")
+        assert latest.endswith("checkpoint-epoch-3")
+
 
 class TestTrainerResumeEquivalence:
     def test_resume_matches_uninterrupted(self, tmp_path):

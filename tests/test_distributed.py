@@ -412,6 +412,46 @@ class TestSpatialPartition:
         ))
         np.testing.assert_allclose(out_single, out_sp, atol=2e-5)
 
+    def test_trainer_sp_end_to_end(self, tmp_path):
+        """A Trainer under --mesh_spatial trains an epoch and runs the EMA
+        cadence sampling with SP-placed latents — the full cadence path, not
+        just the step/scan primitives."""
+        from jax.sharding import PartitionSpec as P
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.data.datasets import get_dataset
+        from masked_diffusion_tpu.train.trainer import Trainer
+
+        size = 16
+        cfg = Config(
+            method="base", data_name="synthetic", data_size=size,
+            data_subset=True, data_subset_num=16, batch_size=8, num_epochs=1,
+            ddpm_schedule="log", ddpm_num_steps=4,
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+            shift_type="non_shift", sample_latent_shape="zero", sample_num=5,
+            use_ema=True, block_out_channels=(8, 16), layers_per_block=1,
+            num_attention=1, use_wandb=False, use_mlflow=False,
+            dir_work=str(tmp_path), mesh_spatial=True, lr_warmup_steps=0,
+        )
+        dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=16)
+        plan = make_mesh(data=2, model=4)
+        trainer = Trainer(cfg, dataset, mesh_plan=plan)
+
+        # params replicate under SP (the model axis shards activations)
+        leaf = jax.tree.leaves(trainer.state.params)[0]
+        assert leaf.sharding.spec == P()
+
+        out = trainer.train(0, 1)
+        assert np.isfinite(out["loss_mean_epoch"]).all()
+
+        latent, num = trainer._cadence_latent(jax.random.PRNGKey(0), cfg.sample_num)
+        assert num == 5 and latent.shape[0] == 6  # rounded to data size 2...
+        assert latent.sharding.spec == P("data", "model")
+        sample = trainer.sample_ema(jax.random.PRNGKey(1))
+        sample = sample[0] if isinstance(sample, tuple) else sample
+        assert sample.shape == (5, size, size, 3)
+        assert np.isfinite(np.asarray(sample)).all()
+
     def test_trainer_rejects_bad_spatial_topology(self, tmp_path):
         from masked_diffusion_tpu.config import Config
         from masked_diffusion_tpu.data.datasets import get_dataset

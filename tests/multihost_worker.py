@@ -134,8 +134,11 @@ def main():
     result["preempted_flag"] = bool(meta.get("preempted", False))
 
     # resume: fresh trainer restores the collective checkpoint and completes
-    # the remaining epoch (num_epochs is the TOTAL)
-    trainer2 = Trainer(cfg, dataset, mesh_plan=plan)
+    # the remaining epoch (num_epochs is the TOTAL). The resumed run flips on
+    # --async_checkpoints so the final-epoch cadence save exercises the
+    # COLLECTIVE async orbax path (background commit threads coordinating
+    # across both processes; train() drains them in its finally block)
+    trainer2 = Trainer(cfg.replace(async_checkpoints=True), dataset, mesh_plan=plan)
     gstep = trainer2.restore(os.path.join(ckpt_dir, ckpts[-1]))
     steps_per_epoch = dataset.num_batches(cfg.batch_size)
     first_epoch = gstep // steps_per_epoch

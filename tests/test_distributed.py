@@ -517,6 +517,14 @@ def test_generate_images_rounds_batch_to_mesh(tmp_path):
     assert sum(f.startswith("sample_0") for f in files) == 5
     assert sum(f.startswith("sample_grid_") for f in files) == 2
 
+    # the serving path under spatial partitioning: latents P('data','model')
+    out_sp = generate_images(
+        cfg.replace(mesh_spatial=True), model, params, schedule,
+        mesh_plan=make_mesh(data=2, model=4),
+    )
+    assert out_sp["images"].shape == (5, size, size, 3)
+    assert np.isfinite(out_sp["images"]).all()
+
 
 def test_put_global_batch_single_process():
     """put_global_batch shards the batch over the data axis (single-process

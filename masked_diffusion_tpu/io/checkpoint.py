@@ -84,23 +84,29 @@ def save_checkpoint(
     # saves below are COLLECTIVE — every process must make these calls
     # (orbax coordinates the per-shard writes internally)
     os.makedirs(path, exist_ok=True)
-    pending = []
-
-    def _save(sub: str, tree: Any) -> None:
-        c = _checkpointer(sub, async_save)
-        c.save(os.path.join(path, sub), tree, force=True)
-        pending.append(c)
-
-    _save("unet", params)
+    items = [("unet", params)]
     if ema_params is not None:
-        _save("unet_ema", ema_params)
+        items.append(("unet_ema", ema_params))
     if opt_state is not None:
-        _save("optimizer", opt_state)
-    if not async_save:
-        for c in pending:
-            c.wait_until_finished()
+        items.append(("optimizer", opt_state))
+    if async_save:
+        for sub, tree in items:
+            _checkpointer(sub, True).save(os.path.join(path, sub), tree, force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        for sub, tree in items:
+            ckptr.save(os.path.join(path, sub), tree, force=True)
+        ckptr.wait_until_finished()
     if is_main_process():  # sidecar files: process 0 only (utils/host.py)
-        meta = {"epoch": int(epoch), "global_step": int(global_step)}
+        # 'items' records which subdirs a COMPLETE checkpoint must contain —
+        # is_complete_checkpoint verifies each is finalized, so a crash
+        # between the unet commit and the (parallel) ema/optimizer commits
+        # cannot produce a dir that resumes with silently-reset EMA/Adam state
+        meta = {
+            "epoch": int(epoch),
+            "global_step": int(global_step),
+            "items": [sub for sub, _ in items],
+        }
         if extra_meta:
             meta.update(extra_meta)
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -116,20 +122,35 @@ def save_checkpoint(
 
 
 def _prune_checkpoints(checkpoint_dir: str, keep_last: int) -> None:
-    """Delete all but the newest keep_last checkpoint-* dirs (by epoch
-    suffix). Runs on process 0 only, after the new checkpoint is fully
-    written, so a crash mid-prune can only leave extra checkpoints behind."""
+    """Delete stale checkpoint-* dirs, retaining the newest keep_last
+    COMPLETE checkpoints (by epoch suffix). Runs on process 0 only.
+
+    Only complete checkpoints count toward (or are protected by) the quota:
+    an async save's in-flight newest dir is never deleted but never displaces
+    a committed checkpoint either — pruning a committed dir while the new one
+    is still uncommitted would leave a crash window with ZERO resumable
+    checkpoints. Older incomplete dirs are crashed-save garbage (every
+    pre-dispatch write has committed — AsyncCheckpointer.save waits for the
+    same item's previous op) and are always deleted."""
     import shutil
 
-    cands = []
+    complete, incomplete = [], []
     for d in os.listdir(checkpoint_dir):
         m = _CKPT_RE.search(d)
         full = os.path.join(checkpoint_dir, d)
         if m and os.path.isdir(full):
-            cands.append((int(m.group(1)), full))
-    cands.sort()
-    for _, stale in cands[:-keep_last]:
-        shutil.rmtree(stale, ignore_errors=True)
+            (complete if is_complete_checkpoint(full) else incomplete).append(
+                (int(m.group(1)), full)
+            )
+    complete.sort()
+    incomplete.sort()
+    newest_epoch = max(e for e, _ in complete + incomplete)
+    stale = complete[:-keep_last]
+    # an incomplete NEWEST dir is (possibly) the in-flight async save; any
+    # older incomplete dir is a crashed leftover
+    stale += [(e, p) for e, p in incomplete if e != newest_epoch]
+    for _, path in stale:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def load_checkpoint(
@@ -173,13 +194,38 @@ def load_checkpoint(
     return params, ema, opt_state, meta
 
 
+def _item_finalized(path: str, sub: str) -> bool:
+    d = os.path.join(path, sub)
+    return os.path.isdir(d) and not ocp.utils.is_tmp_checkpoint(d)
+
+
 def is_complete_checkpoint(path: str) -> bool:
-    """A checkpoint dir is loadable once its orbax 'unet' save is FINALIZED
-    (orbax writes to a tmp dir and renames atomically on commit). A crash —
-    or an in-flight async save — leaves the dir without a final unet/, and
-    the latest-scan must not resume from it."""
-    unet = os.path.join(path, "unet")
-    return os.path.isdir(unet) and not ocp.utils.is_tmp_checkpoint(unet)
+    """True when every item save of this checkpoint has COMMITTED (orbax
+    writes each item to a tmp dir and renames atomically on finalize).
+
+    The item list comes from meta.json's 'items' (written at dispatch), so a
+    crash between the unet commit and the parallel unet_ema/optimizer
+    commits is detected — accepting such a dir would resume with silently
+    re-initialized EMA/Adam state. Fallback when meta.json predates 'items'
+    or was never written: unet/ finalized and no orbax tmp dirs anywhere in
+    the checkpoint."""
+    meta_path = os.path.join(path, "meta.json")
+    items = None
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                items = json.load(f).get("items")
+        except (OSError, ValueError):
+            return False  # truncated meta: mid-crash artifact
+    if items:
+        return all(_item_finalized(path, sub) for sub in items)
+    if not _item_finalized(path, "unet"):
+        return False
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    return not any(ocp.utils.TMP_DIR_SUFFIX in e for e in entries)
 
 
 def find_resume_checkpoint(output_dir: str, resume_from: str = "latest") -> Optional[str]:

@@ -172,6 +172,23 @@ class Trainer:
         params, ema, opt_state, meta = load_checkpoint(
             path, self.state.params, self.state.ema_params, self.state.opt_state
         )
+        # full-state resume is the invariant (bitwise-equal continuation):
+        # a checkpoint missing an expected tree must fail LOUDLY — silently
+        # re-initializing EMA/Adam state corrupts the run undetectably
+        missing = [
+            name
+            for name, expected, got in (
+                ("unet_ema", self.state.ema_params, ema),
+                ("optimizer", self.state.opt_state, opt_state),
+            )
+            if expected is not None and got is None
+        ]
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} is missing {missing}; resuming would "
+                "silently re-initialize that state. Use --method sample for "
+                "params-only checkpoints, or point at a complete checkpoint."
+            )
         global_step = int(meta.get("global_step", 0))
         self.state = self._place_state(self.state.replace(
             step=jnp.asarray(global_step, jnp.int32),
@@ -283,10 +300,24 @@ class Trainer:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
             # drain in-flight async checkpoint writes before returning —
-            # an abandoned background write would leave only a tmp dir
+            # an abandoned background write would leave only a tmp dir.
+            # A failed drain must not MASK an in-flight exception (e.g. the
+            # non-finite-loss FloatingPointError) with its own: re-raise only
+            # on the clean-exit path
+            import sys as _sys
+
             from masked_diffusion_tpu.io.checkpoint import wait_for_async_saves
 
-            wait_for_async_saves()
+            try:
+                wait_for_async_saves()
+            except Exception as drain_err:
+                if _sys.exc_info()[0] is None:
+                    raise
+                print(
+                    "WARNING: async checkpoint drain failed while unwinding "
+                    f"another exception: {drain_err}",
+                    flush=True,
+                )
         return {"loss_mean_epoch": self.loss_mean_epoch, "last_metrics": last_metrics}
 
     def _train_epochs(

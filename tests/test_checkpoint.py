@@ -42,7 +42,10 @@ class TestSaveLoad:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(e2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        assert meta == {"epoch": 7, "global_step": 1234}
+        assert meta == {
+            "epoch": 7, "global_step": 1234,
+            "items": ["unet", "unet_ema", "optimizer"],
+        }
 
     def test_load_without_ema(self, tmp_path):
         params = _tree(1)
@@ -105,14 +108,18 @@ class TestAsyncSave:
         )
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(e2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(o2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert meta["global_step"] == 400
 
     def test_async_back_to_back_saves(self, tmp_path):
-        """Consecutive async saves are safe: each new save waits for the same
-        item's previous write, so retention pruning only ever sees committed
-        dirs."""
+        """Consecutive async saves are safe, and retention under async lags
+        one save behind: the possibly-uncommitted newest never counts toward
+        the quota, so every prune leaves keep_last COMMITTED checkpoints on
+        disk (crash-safe by construction). A later sync save, whose commit
+        precedes its prune, converges retention to exactly keep_last."""
         from masked_diffusion_tpu.io.checkpoint import wait_for_async_saves
 
         for epoch in (1, 2, 3):
@@ -122,9 +129,99 @@ class TestAsyncSave:
             )
         wait_for_async_saves()
         dirs = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
-        assert dirs == ["checkpoint-epoch-2", "checkpoint-epoch-3"]
+        # epoch 3 was (potentially) in flight at its own prune, so epochs
+        # 1 and 2 both survive as the keep_last=2 committed set
+        assert dirs == [
+            "checkpoint-epoch-1", "checkpoint-epoch-2", "checkpoint-epoch-3"
+        ]
         latest = find_resume_checkpoint(str(tmp_path), "latest")
         assert latest.endswith("checkpoint-epoch-3")
+
+        save_checkpoint(str(tmp_path), 4, 4, _tree(4), keep_last=2)
+        dirs = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
+        assert dirs == ["checkpoint-epoch-3", "checkpoint-epoch-4"]
+
+
+class TestPruneSafety:
+    def test_inflight_newest_does_not_displace_complete(self, tmp_path):
+        """An uncommitted (in-flight async) newest checkpoint never counts
+        toward the retention quota: pruning must keep the committed ones —
+        deleting them would leave a crash window with ZERO resumable
+        checkpoints."""
+        from masked_diffusion_tpu.io.checkpoint import _prune_checkpoints
+
+        params = _tree(0)
+        save_checkpoint(str(tmp_path), 10, 100, params)
+        save_checkpoint(str(tmp_path), 20, 200, params)
+        # epoch 30: dir exists, write still in flight (only a tmp dir)
+        os.makedirs(
+            tmp_path / "checkpoint-epoch-30" / "unet.orbax-checkpoint-tmp-1"
+        )
+        _prune_checkpoints(str(tmp_path), keep_last=1)
+        left = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
+        # newest COMPLETE (epoch 20) survives; in-flight epoch 30 untouched
+        assert left == ["checkpoint-epoch-20", "checkpoint-epoch-30"]
+        latest = find_resume_checkpoint(str(tmp_path), "latest")
+        assert latest.endswith("checkpoint-epoch-20")
+
+    def test_crashed_garbage_is_deleted_not_retained(self, tmp_path):
+        """Older incomplete dirs are crashed-save leftovers: deleted outright,
+        never occupying retention slots that push out real checkpoints."""
+        from masked_diffusion_tpu.io.checkpoint import _prune_checkpoints
+
+        params = _tree(0)
+        save_checkpoint(str(tmp_path), 10, 100, params)
+        os.makedirs(tmp_path / "checkpoint-epoch-15")  # crashed: no unet at all
+        save_checkpoint(str(tmp_path), 20, 200, params)
+        _prune_checkpoints(str(tmp_path), keep_last=2)
+        left = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
+        assert left == ["checkpoint-epoch-10", "checkpoint-epoch-20"]
+
+    def test_partial_commit_is_incomplete(self, tmp_path):
+        """A dir whose unet committed but whose meta-declared ema/optimizer
+        items did not is INCOMPLETE — resuming from it would silently
+        re-initialize EMA/Adam state."""
+        import json as _json
+
+        from masked_diffusion_tpu.io.checkpoint import is_complete_checkpoint
+
+        params, ema = _tree(1), _tree(2)
+        path = save_checkpoint(str(tmp_path), 5, 50, params, ema)
+        assert is_complete_checkpoint(path)
+        # simulate the crash window: unet_ema never finalized
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "unet_ema"))
+        assert not is_complete_checkpoint(path)
+        # and without meta.json, a stray orbax tmp dir is enough to reject
+        os.remove(os.path.join(path, "meta.json"))
+        assert is_complete_checkpoint(path)  # unet finalized, no tmp dirs
+        os.makedirs(os.path.join(path, "optimizer.orbax-checkpoint-tmp-9"))
+        assert not is_complete_checkpoint(path)
+
+    def test_trainer_restore_rejects_partial_checkpoint(self, tmp_path):
+        """Trainer.restore fails loudly when the checkpoint lacks an expected
+        tree instead of silently re-initializing it."""
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.data.datasets import get_dataset
+        from masked_diffusion_tpu.train.trainer import Trainer
+
+        size = 8
+        cfg = Config(
+            method="base", data_name="synthetic", data_size=size,
+            data_subset=True, data_subset_num=8, batch_size=8, num_epochs=1,
+            ddpm_schedule="log", ddpm_num_steps=4,
+            select_degrade_pixel="indexing", mean_option="degraded_area",
+            mean_area="image-wise", shift_type="non_shift", use_ema=True,
+            block_out_channels=(8, 16), layers_per_block=1,
+            use_wandb=False, use_mlflow=False, dir_work=str(tmp_path),
+        )
+        dataset = get_dataset("", "synthetic", size, data_subset=True, num_data=8)
+        trainer = Trainer(cfg, dataset)
+        # params-only checkpoint (no unet_ema / optimizer)
+        path = save_checkpoint(str(tmp_path), 3, 3, trainer.state.params)
+        with pytest.raises(ValueError, match="unet_ema"):
+            trainer.restore(path)
 
 
 class TestTrainerResumeEquivalence:

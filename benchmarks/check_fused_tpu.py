@@ -138,8 +138,16 @@ def bench_attention_scan():
             np.random.default_rng(0).normal(size=(b, s, s, c)), jnp.bfloat16
         )
         res = {}
-        for arm, flash in (("einsum", False), ("flash", True)):
-            blk = AttentionBlock(flash=flash, dtype=jnp.bfloat16)
+        arms = [
+            ("einsum", dict(flash=False)),
+            ("flash", dict(flash=True)),
+            # chunked: the pure-XLA large-S path (exact attention over query
+            # blocks, models/unet.py AttentionBlock.chunk_q) — the contender
+            # against flash where the full scores don't fit
+            ("chunk512", dict(chunk_q=512)),
+        ]
+        for arm, kw in arms:
+            blk = AttentionBlock(dtype=jnp.bfloat16, **kw)
             try:
                 p = blk.init(jax.random.PRNGKey(0), x)
 

@@ -172,6 +172,11 @@ class AttentionBlock(nn.Module):
     norm_eps: float = 1e-5
     pallas_norm: bool = False
     flash: bool = False
+    # chunk_q > 0: lax.map over query blocks of that size — exact attention
+    # with the score tensor bounded to (B, heads, chunk_q, S) instead of the
+    # full (B, heads, S, S); the pure-XLA alternative to `flash` for large S
+    # where the materialized scores don't fit (S=4096 needs 8.6 GB f32)
+    chunk_q: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -209,6 +214,30 @@ class AttentionBlock(nn.Module):
             )
 
             out = flash_attention(q, k, v, sm_scale=scale)
+        elif self.chunk_q:
+            # exact attention, one query block at a time: lax.map compiles to
+            # a scan whose live score tensor is (B, heads, chunk_q, S); this
+            # family's head_dim=8 makes flash pad 16x on the lane axis, so a
+            # chunked einsum is the XLA-native way to reach S where the full
+            # scores don't fit
+            bq = int(self.chunk_q)
+            s = q.shape[2]
+            pad = (-s) % bq
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
+            nc = qp.shape[2] // bq
+            qc = qp.reshape(b, heads, nc, bq, dim_head).transpose(2, 0, 1, 3, 4)
+
+            def one_block(q_blk):
+                a = jnp.einsum(
+                    "bhsd,bhtd->bhst", q_blk, k,
+                    preferred_element_type=jnp.float32,
+                )
+                a = jax.nn.softmax(a * scale, axis=-1).astype(v.dtype)
+                return jnp.einsum("bhst,bhtd->bhsd", a, v)
+
+            out = jax.lax.map(one_block, qc)
+            out = out.transpose(1, 2, 0, 3, 4).reshape(b, heads, nc * bq, dim_head)
+            out = out[:, :, :s]
         else:
             # (B, heads, S, S) attention — fused by XLA; S = H*W <= 4096 at
             # the reference's resolutions so the score matrix fits comfortably.
@@ -279,6 +308,11 @@ class UNetConfig:
     # materialized-scores einsum is the measured-faster path — see
     # docs/PERFORMANCE.md "pallas verdicts"; None resolves to off.
     pallas_attention: Optional[bool] = None
+    # exact chunked attention (AttentionBlock.chunk_q): query blocks of this
+    # size bound the live score tensor to (B, heads, chunk, S) — the pure-XLA
+    # route to S=4096+ where materialized scores don't fit and flash pads the
+    # 8-wide heads 16x on the lane axis; None resolves to off.
+    attention_chunk: Optional[int] = None
 
     def __post_init__(self):
         n = len(self.block_out_channels)
@@ -335,7 +369,10 @@ class UNet2D(nn.Module):
             norm_groups=cfg.norm_groups, norm_eps=cfg.norm_eps,
             pallas_norm=pallas_norm, **dtype_kw,
         )
-        attn_kw = dict(head_dim=cfg.attention_head_dim, flash=flash, **block_kw)
+        attn_kw = dict(
+            head_dim=cfg.attention_head_dim, flash=flash,
+            chunk_q=cfg.attention_chunk, **block_kw,
+        )
         res_kw = dict(dropout=cfg.dropout, **block_kw)
         # rematerialization via flax's LIFTED transform: jax.checkpoint around
         # a bound module call leaks tracers at init (param creation is a side

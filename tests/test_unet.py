@@ -89,6 +89,50 @@ class TestForward:
         o2 = model_remat.apply(params, x, t)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
 
+    @pytest.mark.parametrize("chunk", [4, 7])
+    def test_chunked_attention_matches_full(self, tiny, chunk):
+        """attention_chunk computes EXACT attention one query block at a
+        time (models/unet.py AttentionBlock.chunk_q) — outputs must match
+        the materialized-scores einsum, including when the sequence length
+        doesn't divide the chunk (query padding trimmed)."""
+        import dataclasses
+
+        model, params = tiny
+        # perturb every param (incl. the zero-init output conv) so the
+        # attention path actually shapes the output being compared
+        keys = iter(jax.random.split(jax.random.PRNGKey(9), 1000))
+        params = jax.tree.map(
+            lambda a: a + 0.02 * jax.random.normal(next(keys), a.shape, a.dtype),
+            params,
+        )
+        chunked = UNet2D(
+            config=dataclasses.replace(model.config, attention_chunk=chunk),
+            dtype=model.dtype, param_dtype=model.param_dtype,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, SIZE, SIZE, 3))
+        t = jnp.array([1.0, 5.0])
+        full = model.apply(params, x, t, deterministic=True)
+        assert float(jnp.abs(full).max()) > 0  # non-degenerate comparison
+        out = chunked.apply(params, x, t, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_chunked_attention_block_matches(self):
+        """Direct AttentionBlock check with a sequence the chunk doesn't
+        divide (S=36, chunk 16 -> pad to 48, trimmed)."""
+        from masked_diffusion_tpu.models.unet import AttentionBlock
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 16))
+        blk = AttentionBlock(head_dim=8, norm_groups=4)
+        params = blk.init(jax.random.PRNGKey(1), x)
+        full = blk.apply(params, x)
+        for chunk in (5, 16, 64):
+            out = AttentionBlock(head_dim=8, norm_groups=4, chunk_q=chunk).apply(
+                params, x
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_attention_params_present(self, tiny):
         _, params = tiny
         names = {k for k in params["params"]}

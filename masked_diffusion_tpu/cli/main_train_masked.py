@@ -142,6 +142,19 @@ def build_parser() -> argparse.ArgumentParser:
         "the reference's 128,128,256,256,512,512)",
     )
     p.add_argument("--layers_per_block", type=int, default=2)
+    p.add_argument(
+        "--remat", type=str2bool, default=False,
+        help="rematerialize UNet blocks on backward (flax nn.remat): ~11% "
+        "slower steps for a large activation-memory cut — for memory-bound "
+        "configs (docs/PERFORMANCE.md)",
+    )
+    p.add_argument(
+        "--attention_chunk", type=int, default=None,
+        help="exact chunked attention: lax.map over query blocks of this "
+        "size bounds live scores to (B, heads, chunk, S) — escape hatch for "
+        "placements whose full (S, S) scores don't fit HBM (0/unset = "
+        "materialized-scores einsum, the measured-faster path at S <= 1024)",
+    )
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument(
         "--keep_last_checkpoints", type=int, default=0,

@@ -109,6 +109,15 @@ class Config:
     interpolation_shift: Optional[float] = None
     block_out_channels: Optional[tuple] = None  # override UNet widths (tests/bench)
     layers_per_block: int = 2
+    # rematerialize UNet blocks on backward (flax nn.remat): ~11% step time
+    # bought back as activation memory — for memory-bound configs
+    # (docs/PERFORMANCE.md "measured dead ends" remat row)
+    remat: bool = False
+    # exact chunked attention (UNetConfig.attention_chunk): lax.map over query
+    # blocks of this size bounds live scores to (B, heads, chunk, S) — the
+    # pure-XLA escape hatch for placements whose full (S, S) scores don't fit
+    # HBM (S=4096 needs 8.6 GB f32); None/0 = materialized-scores einsum
+    attention_chunk: Optional[int] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # checkpoint retention: keep only the N newest checkpoint-epoch-* dirs
     # (0 = keep all, the reference behavior — its cadence saves accumulate

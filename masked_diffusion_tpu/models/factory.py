@@ -56,6 +56,7 @@ def build_unet(
     dtype=jnp.float32,
     param_dtype=jnp.float32,
     remat: bool = False,
+    attention_chunk: Optional[int] = None,
 ) -> UNet2D:
     """Equivalent of utils/model.MyModel (utils/model.py:3-33)."""
     channels = tuple(block_out_channels or DEFAULT_BLOCK_OUT_CHANNELS)
@@ -69,5 +70,6 @@ def build_unet(
         attn_down=attn_down,
         attn_up=attn_up,
         remat=remat,
+        attention_chunk=attention_chunk or None,
     )
     return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

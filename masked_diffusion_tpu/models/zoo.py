@@ -126,6 +126,7 @@ def Model(
     param_dtype=jnp.float32,
     num_attention: int = 1,
     remat: bool = False,
+    attention_chunk: Optional[int] = None,
 ) -> UNet2D:
     """Zoo dispatch with the reference signature (models_Unet.py:17)."""
     if data_height != data_width:
@@ -136,9 +137,12 @@ def Model(
             dim_channel=data_channel, dim_height=data_height,
             dim_width=data_width, num_attention=num_attention,
             dtype=dtype, param_dtype=param_dtype, remat=remat,
+            attention_chunk=attention_chunk,
         )
     import dataclasses
 
-    cfg = _zoo_config(name, data_channel, data_height, out_channel)
-    cfg = dataclasses.replace(cfg, remat=remat)
+    cfg = dataclasses.replace(
+        _zoo_config(name, data_channel, data_height, out_channel),
+        remat=remat, attention_chunk=attention_chunk or None,
+    )
     return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

@@ -57,6 +57,7 @@ def build_model_from_config(cfg: Config):
         return zoo_model(
             cfg.model, cfg.in_channel, cfg.data_size, cfg.data_size,
             cfg.out_channel, dtype=compute_dtype,
+            remat=cfg.remat, attention_chunk=cfg.attention_chunk,
         )
     return build_unet(
         dim_channel=cfg.in_channel,
@@ -66,6 +67,8 @@ def build_model_from_config(cfg: Config):
         block_out_channels=cfg.block_out_channels,
         layers_per_block=cfg.layers_per_block,
         dtype=compute_dtype,
+        remat=cfg.remat,
+        attention_chunk=cfg.attention_chunk,
     )
 
 

@@ -171,6 +171,22 @@ def test_cli_zoo_model_train_and_sample(tmp_path):
     assert sum(f.startswith("sample_0") for f in files) == 2
 
 
+def test_cli_memory_knobs_parse_to_config():
+    """--remat / --attention_chunk (TPU-native extensions) map into Config —
+    the flags are the CLI surface of the memory escape hatches documented in
+    docs/PERFORMANCE.md (remat row, chunked-attention section)."""
+    from masked_diffusion_tpu.cli.main_train_masked import (
+        build_parser, config_from_args,
+    )
+
+    cfg = config_from_args(build_parser().parse_args(
+        ["--remat", "True", "--attention_chunk", "512"]
+    ))
+    assert cfg.remat is True and cfg.attention_chunk == 512
+    cfg = config_from_args(build_parser().parse_args([]))
+    assert cfg.remat is False and cfg.attention_chunk is None
+
+
 def test_cli_bad_method(tmp_path):
     with pytest.raises(SystemExit):
         main(_args(tmp_path, "bad", ("--method", "bogus")))

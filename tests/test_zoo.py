@@ -135,3 +135,24 @@ def test_build_model_from_config_dispatch():
     cfg = Config(model="default", data_size=32, num_attention=1)
     m = build_model_from_config(cfg)
     assert len(m.config.block_out_channels) == 6
+
+
+def test_build_model_from_config_plumbs_memory_knobs():
+    """--remat / --attention_chunk reach the UNetConfig through BOTH dispatch
+    arms (default factory and zoo), so the CLI's memory escape hatches apply
+    to every trainable model."""
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.train.trainer import build_model_from_config
+
+    for model in ("default", "unet6"):
+        cfg = Config(model=model, data_size=32, in_channel=3, out_channel=3,
+                     remat=True, attention_chunk=256)
+        m = build_model_from_config(cfg)
+        assert m.config.remat is True, model
+        assert m.config.attention_chunk == 256, model
+        # 0 normalizes to None (off), matching the einsum default path
+        cfg = Config(model=model, data_size=32, in_channel=3, out_channel=3,
+                     attention_chunk=0)
+        m = build_model_from_config(cfg)
+        assert m.config.attention_chunk is None, model
+        assert m.config.remat is False, model

@@ -208,10 +208,64 @@ def bench_flash_attention():
         }), flush=True)
 
 
+def bench_encoder_reuse(size=64, batch=64, steps=200):
+    """--encoder_reuse throughput + drift at the headline sampling config:
+    ms/step for K in {exact, 2, 3} plus mean|exact - K| over the final
+    samples (a perturbed model — the zero-init residual would make drift
+    trivially 0). Paste into docs/PERFORMANCE.md "encoder reuse"."""
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.models import build_unet
+    from masked_diffusion_tpu.ops.schedule import build_schedule
+    from masked_diffusion_tpu.sample import make_sample_fn
+
+    def cfg_k(k):
+        return Config(
+            method="mean_shift", data_size=size, ddpm_schedule="linear",
+            ddpm_num_steps=steps, select_degrade_pixel="thresholding",
+            degrade_channel="1-channel", mean_option="degraded_area",
+            mean_area="image-wise", shift_type="1-d_constant",
+            momentum_adaptive="base_momentum",
+            sampling_mask_dependency="independent", mixed_precision="bf16",
+            encoder_reuse=k,
+        )
+
+    sched = build_schedule("linear", steps, size, "thresholding")
+    used = sched.timesteps_for_epoch(0, 10, 1)
+    model = build_unet(dim_channel=3, dim_height=size, dim_width=size,
+                       num_attention=1, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), x1, jnp.zeros((1,)))
+    params = jax.tree.map(lambda p: p + 0.02, params)
+    latent = jnp.full((batch, size, size, 3), 0.1, jnp.float32)
+
+    out = {}
+    exact_sample = None
+    for arm, k in (("exact", 0), ("reuse2", 2), ("reuse3", 3)):
+        fn = make_sample_fn(model, sched, cfg_k(k), used)
+        s = fn(params, latent, jax.random.PRNGKey(1))
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        s = fn(params, latent, jax.random.PRNGKey(1))
+        float(jnp.sum(s))
+        out[f"{arm}_ms_per_step"] = round(
+            (time.perf_counter() - t0) / len(used) * 1e3, 3)
+        if exact_sample is None:
+            exact_sample = s
+        else:
+            out[f"{arm}_mean_abs_drift"] = round(
+                float(jnp.mean(jnp.abs(s - exact_sample))), 5)
+    print(json.dumps({
+        "bench": "encoder_reuse_inloop", "size": size, "batch": batch,
+        "steps": int(len(used)), **out,
+    }), flush=True)
+
+
 def main():
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
     which = os.environ.get("CHECK", "all")
+    if which == "reuse":
+        bench_encoder_reuse()
     if which in ("all", "standalone"):
         bench_fused_standalone(select="thresholding")
         bench_fused_standalone(select="indexing")

@@ -155,6 +155,13 @@ def build_parser() -> argparse.ArgumentParser:
         "placements whose full (S, S) scores don't fit HBM (0/unset = "
         "materialized-scores einsum, the measured-faster path at S <= 1024)",
     )
+    p.add_argument(
+        "--encoder_reuse", type=int, default=0,
+        help="sampling-only: run the UNet encoder every K-th reverse step "
+        "and replay its cached activations between (Faster Diffusion, "
+        "arXiv:2312.09608) — an approximation trading sample fidelity for "
+        "per-step cost; 0/1 = exact sampling (default)",
+    )
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument(
         "--keep_last_checkpoints", type=int, default=0,

@@ -103,6 +103,11 @@ class Config:
     # Mutually exclusive use of the axis with TP; params stay replicated.
     mesh_spatial: bool = False
     capture_trajectory: bool = False  # sampler keeps per-step buffers (HBM-heavy)
+    # sampling-only encoder reuse ("Faster Diffusion", arXiv:2312.09608;
+    # PAPERS.md): run the UNet encoder every K-th reverse step and replay its
+    # cached activations between — an opt-in approximation trading sample
+    # fidelity for the encoder's share of per-step FLOPs/bytes; 0/1 = exact
+    encoder_reuse: int = 0
     # route to the interpolation sampler (Sampler.sample's 3rd arg,
     # sampler.py:102-106,264-366 — dead in the reference, live here): when
     # set, the save cadence also renders an interpolation sweep grid

@@ -333,7 +333,23 @@ class UNet2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, timesteps: Array, deterministic: bool = True) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        timesteps: Array,
+        deterministic: bool = True,
+        cached=None,
+        return_cached: bool = False,
+    ) -> Array:
+        """`cached`/`return_cached` support encoder reuse across sampling
+        steps ("Faster Diffusion", arXiv:2312.09608; PAPERS.md): with
+        `return_cached=True` the call also returns the encoder state
+        (post-middle hidden + skip activations); passing that state back as
+        `cached` SKIPS conv_in + the down path + the middle blocks and runs
+        only the up path on the replayed activations (x is then unused).
+        Decode-given-cache is exact (tests/test_unet.py); reusing a cache
+        across timesteps is the paper's approximation, wired as the
+        sampler's opt-in --encoder_reuse (sample/loop.py)."""
         cfg = self.config
         ch = cfg.block_out_channels
         n_levels = len(ch)
@@ -356,12 +372,6 @@ class UNet2D(nn.Module):
             name="time_dense2",
         )(temb)
 
-        x = x.astype(self.dtype)
-        h = nn.Conv(
-            ch[0], (3, 3), padding=1, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="conv_in",
-        )(x)
-
         dtype_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         pallas_norm = bool(cfg.pallas_norm) if cfg.pallas_norm is not None else False
         flash = bool(cfg.pallas_attention) if cfg.pallas_attention is not None else False
@@ -383,26 +393,42 @@ class UNet2D(nn.Module):
             nn.remat(ResnetBlock, static_argnums=(3,)) if cfg.remat else ResnetBlock
         )
 
-        # ---- down path
-        skips = [h]
-        for level in range(n_levels):
-            for layer in range(cfg.layers_per_block):
-                h = ResBlock(ch[level], name=f"down_{level}_res_{layer}", **res_kw)(
-                    h, temb, deterministic
-                )
-                if cfg.attn_down[level]:
-                    h = AttentionBlock(
-                        name=f"down_{level}_attn_{layer}", **attn_kw,
+        if cached is None:
+            # ---- encoder: conv_in -> down path -> middle
+            h = nn.Conv(
+                ch[0], (3, 3), padding=1, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv_in",
+            )(x.astype(self.dtype))
+            skips = [h]
+            for level in range(n_levels):
+                for layer in range(cfg.layers_per_block):
+                    h = ResBlock(ch[level], name=f"down_{level}_res_{layer}", **res_kw)(
+                        h, temb, deterministic
+                    )
+                    if cfg.attn_down[level]:
+                        h = AttentionBlock(
+                            name=f"down_{level}_attn_{layer}", **attn_kw,
+                        )(h)
+                    skips.append(h)
+                if level != n_levels - 1:
+                    h = Downsample(
+                        ch[level], name=f"down_{level}_downsample", **dtype_kw
                     )(h)
-                skips.append(h)
-            if level != n_levels - 1:
-                h = Downsample(ch[level], name=f"down_{level}_downsample", **dtype_kw)(h)
-                skips.append(h)
+                    skips.append(h)
 
-        # ---- middle
-        h = ResnetBlock(ch[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
-        h = AttentionBlock(name="mid_attn", **attn_kw)(h)
-        h = ResnetBlock(ch[-1], name="mid_res_2", **res_kw)(h, temb, deterministic)
+            # ---- middle
+            h = ResnetBlock(ch[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
+            h = AttentionBlock(name="mid_attn", **attn_kw)(h)
+            h = ResnetBlock(ch[-1], name="mid_res_2", **res_kw)(h, temb, deterministic)
+            new_cached = (h, tuple(skips))
+        else:
+            # replay the encoder state; only the up path runs (x unused) —
+            # flax looks params up by name, so skipping the encoder modules
+            # under apply() is fine (init always takes the cached=None path)
+            h, cached_skips = cached
+            h = h.astype(self.dtype)
+            skips = [s.astype(self.dtype) for s in cached_skips]
+            new_cached = cached
 
         # ---- up path (processing order: deepest level first). attn_up is in
         # diffusers up_block_types order — index 0 = deepest block (2x2 at
@@ -443,6 +469,8 @@ class UNet2D(nn.Module):
             bias_init=nn.initializers.zeros,
             name="conv_out",
         )(h)
+        if return_cached:
+            return h, new_cached
         return h
 
 

@@ -129,6 +129,14 @@ def make_sample_fn(
 
     dependency = cfg.sampling_mask_dependency
     rule = cfg.momentum_adaptive
+    # --encoder_reuse K ("Faster Diffusion", arXiv:2312.09608; PAPERS.md):
+    # run the UNet encoder (conv_in + down path + middle) only every K-th
+    # step and replay its cached activations through the up path on the
+    # K-1 steps between — an opt-in approximation trading sample fidelity
+    # for ~the encoder's share of the per-step FLOPs/bytes. K <= 1 = exact.
+    reuse = int(getattr(cfg, "encoder_reuse", 0) or 0)
+    if reuse < 0:
+        raise ValueError(f"encoder_reuse must be >= 0, got {reuse}")
     if dependency not in ("independent", "dependent_prev", "dependent_t"):
         raise ValueError(f"unknown sampling_mask_dependency: {dependency!r}")
     if rule not in ("base_sampling", "base_momentum", "momentum", "boosting"):
@@ -161,7 +169,11 @@ def make_sample_fn(
 
     def sample_impl(params, latent, key):
         def body(carry, i):
-            sample_t, _, mask_next_prev, momentum, key = carry
+            if reuse > 1:
+                sample_t, _, mask_next_prev, momentum, key, cached = carry
+            else:
+                sample_t, _, mask_next_prev, momentum, key = carry
+                cached = None
             if activation_sharding is not None:
                 # pin EVERY image-shaped carry, not just sample_t: the mask/
                 # momentum buffers would otherwise be free for propagation to
@@ -184,10 +196,38 @@ def make_sample_fn(
                 cfg.shift_type, cfg.noise_mean, dtype=jnp.float32,
             )
             shifted_sample_t = sample_t + shift
-            out = model.apply(
-                params, shifted_sample_t.astype(compute_dtype),
-                tvec.astype(jnp.float32), deterministic=True,
-            ).astype(jnp.float32)
+            if reuse > 1:
+                # steps walk i = n_steps-1 .. 0; the walk counter refreshes
+                # the encoder cache on its first step and every K-th after
+                counter = (n_steps - 1) - i
+
+                def full_fwd(op):
+                    shifted, _ = op
+                    return model.apply(
+                        params, shifted.astype(compute_dtype),
+                        tvec.astype(jnp.float32), deterministic=True,
+                        return_cached=True,
+                    )
+
+                def reuse_fwd(op):
+                    shifted, cache = op
+                    out, _ = model.apply(
+                        params, shifted.astype(compute_dtype),
+                        tvec.astype(jnp.float32), deterministic=True,
+                        cached=cache, return_cached=True,
+                    )
+                    return out, cache
+
+                out, cached = jax.lax.cond(
+                    counter % reuse == 0, full_fwd, reuse_fwd,
+                    (shifted_sample_t, cached),
+                )
+                out = out.astype(jnp.float32)
+            else:
+                out = model.apply(
+                    params, shifted_sample_t.astype(compute_dtype),
+                    tvec.astype(jnp.float32), deterministic=True,
+                ).astype(jnp.float32)
             shifted_sample_0 = shifted_sample_t + out
             sample_0 = shifted_sample_0 - shift
 
@@ -204,7 +244,8 @@ def make_sample_fn(
                 )
                 # the reference guards the state update with `if i > 0`
                 new_sample_t = jnp.where(is_last, sample_t, new_sample_t)
-                return (new_sample_t, sample_0, mask_next, momentum, key), None
+                c = (new_sample_t, sample_0, mask_next, momentum, key)
+                return (c + (cached,) if reuse > 1 else c), None
 
             if dependency == "independent":
                 degraded_t, mask_t, _ = degrade_independent(k_deg_t, sample_0, amount_t)
@@ -252,6 +293,8 @@ def make_sample_fn(
                 new_sample_t = jnp.where(is_last, sample_t, new_sample_t)
 
             new_carry = (new_sample_t, sample_0, mask_next, momentum, key)
+            if reuse > 1:
+                new_carry = new_carry + (cached,)
             if capture_trajectory:
                 # capture_items > 0 slices the stacked ys to the first k
                 # items INSIDE the scan: the reference keeps 11 full
@@ -305,6 +348,21 @@ def make_sample_fn(
             zeros_img,                   # momentum buffer (zero-init; see module doc)
             key,
         )
+        if reuse > 1:
+            # zero-filled encoder-cache placeholder (the first scan step is
+            # a refresh, so the zeros are never consumed); eval_shape keeps
+            # the placeholder free at trace time
+            cache_shape = jax.eval_shape(
+                lambda p, xx, tt: model.apply(
+                    p, xx, tt, deterministic=True, return_cached=True
+                ),
+                params,
+                jax.ShapeDtypeStruct(latent.shape, compute_dtype),
+                jax.ShapeDtypeStruct((latent.shape[0],), jnp.float32),
+            )[1]
+            carry = carry + (
+                jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), cache_shape),
+            )
         idx = jnp.arange(n_steps - 1, -1, -1)
         carry, ys = jax.lax.scan(body, carry, idx)
         sample_0 = carry[1]

@@ -180,11 +180,13 @@ def test_cli_memory_knobs_parse_to_config():
     )
 
     cfg = config_from_args(build_parser().parse_args(
-        ["--remat", "True", "--attention_chunk", "512"]
+        ["--remat", "True", "--attention_chunk", "512", "--encoder_reuse", "3"]
     ))
     assert cfg.remat is True and cfg.attention_chunk == 512
+    assert cfg.encoder_reuse == 3
     cfg = config_from_args(build_parser().parse_args([]))
     assert cfg.remat is False and cfg.attention_chunk is None
+    assert cfg.encoder_reuse == 0
 
 
 def test_cli_bad_method(tmp_path):

@@ -89,6 +89,44 @@ class TestSampleLoop:
         # constant-image fixed point holds for every rule with zero residual
         np.testing.assert_allclose(np.asarray(out), 0.2, rtol=1e-5)
 
+    def test_encoder_reuse(self, setup):
+        """--encoder_reuse K (sample/loop.py; Faster Diffusion,
+        arXiv:2312.09608): K<=1 is the exact path bitwise; K=2 threads the
+        encoder cache through the scan (zero placeholder never consumed —
+        the first step refreshes), keeps the zero-residual fixed point, is
+        deterministic, and actually changes a non-trivial model's output."""
+        cfg, schedule, model, params, used = setup
+        latent = jnp.full((N, SIZE, SIZE, 3), 0.37)
+        exact = make_sample_fn(model, schedule, cfg, used)
+
+        # K=1 == exact, bitwise (same code path, no cache in the carry)
+        fn1 = make_sample_fn(model, schedule, _cfg(encoder_reuse=1), used)
+        np.testing.assert_array_equal(
+            np.asarray(fn1(params, latent, jax.random.PRNGKey(1))),
+            np.asarray(exact(params, latent, jax.random.PRNGKey(1))),
+        )
+
+        # K=2: zero-init model -> zero residual whether or not the encoder
+        # was replayed, so the constant fixed point must survive the cache
+        fn2 = make_sample_fn(model, schedule, _cfg(encoder_reuse=2), used)
+        out = fn2(params, latent, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(out), 0.37, rtol=1e-5)
+        # deterministic under the cache
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(fn2(params, latent, jax.random.PRNGKey(1)))
+        )
+
+        # non-trivial model: the approximation must DO something (differ from
+        # exact) while staying finite
+        params_p = jax.tree.map(lambda p: p + 0.02, params)
+        a = np.asarray(exact(params_p, latent, jax.random.PRNGKey(3)))
+        b = np.asarray(fn2(params_p, latent, jax.random.PRNGKey(3)))
+        assert np.isfinite(b).all()
+        assert not np.array_equal(a, b)
+
+        with pytest.raises(ValueError):
+            make_sample_fn(model, schedule, _cfg(encoder_reuse=-1), used)
+
     @pytest.mark.parametrize("dep", ["dependent_prev", "dependent_t"])
     def test_mask_dependencies_run(self, setup, dep):
         cfg, schedule, model, params, used = setup

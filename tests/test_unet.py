@@ -133,6 +133,44 @@ class TestForward:
             np.testing.assert_allclose(np.asarray(out), np.asarray(full),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_encoder_cache_decode_is_exact(self, tiny):
+        """return_cached/cached (models/unet.py __call__): decoding with the
+        encoder state captured from the SAME input/timestep must reproduce
+        the plain forward bit-for-bit — the --encoder_reuse approximation
+        lives entirely in reusing a cache across steps, never in the
+        replay mechanics."""
+        model, params = tiny
+        # perturb every param (incl. the zero-init output conv) so the
+        # decode path actually shapes the output being compared
+        keys = iter(jax.random.split(jax.random.PRNGKey(11), 1000))
+        params = jax.tree.map(
+            lambda a: a + 0.02 * jax.random.normal(next(keys), a.shape, a.dtype),
+            params,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, SIZE, SIZE, 3))
+        t = jnp.array([2.0, 9.0])
+        full = model.apply(params, x, t, deterministic=True)
+        out, cached = model.apply(
+            params, x, t, deterministic=True, return_cached=True
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+        # decode-only pass: x is ignored, the cache is replayed
+        replay, cached2 = model.apply(
+            params, jnp.zeros_like(x), t, deterministic=True,
+            cached=cached, return_cached=True,
+        )
+        np.testing.assert_array_equal(np.asarray(replay), np.asarray(full))
+        # the cache passes through a decode-only call unchanged
+        for a, b in zip(jax.tree.leaves(cached), jax.tree.leaves(cached2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # a different timestep through the SAME cache changes the output
+        # (the decoder re-embeds the current t — the paper's scheme)
+        other = model.apply(
+            params, jnp.zeros_like(x), t + 3.0, deterministic=True,
+            cached=cached, return_cached=True,
+        )[0]
+        assert float(jnp.abs(other - full).max()) > 0
+
     def test_attention_params_present(self, tiny):
         _, params = tiny
         names = {k for k in params["params"]}

@@ -173,6 +173,50 @@ class TestDryrunContract:
         ))
         np.testing.assert_allclose(out_single, out_shard, atol=2e-5)
 
+    def test_encoder_reuse_sharded_matches_single_device(self):
+        """--encoder_reuse under DP: the cached-encoder carry (a pytree of
+        batch-leading activations behind a lax.cond refresh) must shard over
+        'data' like every other carry — sharded and single-device runs agree.
+        Perturbed params so the cache actually shapes the output."""
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.ops.schedule import build_schedule
+        from masked_diffusion_tpu.sample import make_sample_fn
+
+        size, batch = 8, 8
+        cfg = Config(
+            method="mean_shift", data_size=size, ddpm_schedule="log",
+            ddpm_num_steps=6, select_degrade_pixel="indexing",
+            degrade_channel="1-channel", mean_option="degraded_area",
+            mean_area="image-wise", shift_type="1-d_constant",
+            momentum_adaptive="base_sampling",
+            sampling_mask_dependency="independent",
+            encoder_reuse=2,
+        )
+        schedule = build_schedule("log", 6, size, "indexing")
+        model = build_unet(
+            dim_channel=3, dim_height=size, dim_width=size, num_attention=1,
+            block_out_channels=(8, 16), layers_per_block=1,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), jnp.zeros((1,))
+        )
+        params = jax.tree.map(lambda p: p + 0.02, params)
+        used = schedule.timesteps_for_epoch(0, 10, 1)
+        sample_fn = make_sample_fn(model, schedule, cfg, used)
+        latent = np.full((batch, size, size, 3), 0.1, np.float32)
+        key = jax.random.PRNGKey(3)
+
+        out_single = np.asarray(sample_fn(params, jnp.asarray(latent), key))
+
+        plan = make_mesh()
+        out_shard = np.asarray(sample_fn(
+            jax.device_put(params, plan.replicated),
+            jax.device_put(latent, plan.batch_sharding),
+            jax.device_put(key, plan.replicated),
+        ))
+        np.testing.assert_allclose(out_single, out_shard, atol=2e-5)
+
 
 class TestTensorParallel:
     """The 'model' axis made real (parallel/tp.py): wide output-feature axes

@@ -117,39 +117,44 @@ def save_checkpoint(
                 **{k: np.asarray(v) for k, v in history.items()},
             )
         if keep_last and keep_last > 0:
-            _prune_checkpoints(checkpoint_dir, keep_last)
+            _prune_checkpoints(checkpoint_dir, keep_last, protect=path)
     return path
 
 
-def _prune_checkpoints(checkpoint_dir: str, keep_last: int) -> None:
+def _prune_checkpoints(
+    checkpoint_dir: str, keep_last: int, protect: Optional[str] = None
+) -> None:
     """Delete stale checkpoint-* dirs, retaining the newest keep_last
     COMPLETE checkpoints (by epoch suffix). Runs on process 0 only.
 
     Only complete checkpoints count toward (or are protected by) the quota:
-    an async save's in-flight newest dir is never deleted but never displaces
-    a committed checkpoint either — pruning a committed dir while the new one
+    an async save's in-flight dir is never deleted but never displaces a
+    committed checkpoint either — pruning a committed dir while the new one
     is still uncommitted would leave a crash window with ZERO resumable
-    checkpoints. Older incomplete dirs are crashed-save garbage (every
-    pre-dispatch write has committed — AsyncCheckpointer.save waits for the
-    same item's previous op) and are always deleted."""
+    checkpoints. `protect` names the just-dispatched checkpoint EXPLICITLY
+    (save_checkpoint passes its own path) — inferring it from the max epoch
+    would rmtree the in-flight save whenever a previous run left
+    higher-numbered dirs in the directory. Any other incomplete dir is
+    crashed-save garbage (every pre-dispatch write has committed —
+    AsyncCheckpointer.save waits for the same item's previous op) and is
+    always deleted."""
     import shutil
 
+    protect = os.path.abspath(protect) if protect else None
     complete, incomplete = [], []
     for d in os.listdir(checkpoint_dir):
         m = _CKPT_RE.search(d)
-        full = os.path.join(checkpoint_dir, d)
+        full = os.path.abspath(os.path.join(checkpoint_dir, d))
         if m and os.path.isdir(full):
             (complete if is_complete_checkpoint(full) else incomplete).append(
                 (int(m.group(1)), full)
             )
     complete.sort()
-    incomplete.sort()
-    newest_epoch = max(e for e, _ in complete + incomplete)
     stale = complete[:-keep_last]
-    # an incomplete NEWEST dir is (possibly) the in-flight async save; any
-    # older incomplete dir is a crashed leftover
-    stale += [(e, p) for e, p in incomplete if e != newest_epoch]
+    stale += incomplete
     for _, path in stale:
+        if path == protect:
+            continue
         shutil.rmtree(path, ignore_errors=True)
 
 

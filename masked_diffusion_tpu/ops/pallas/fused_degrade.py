@@ -25,6 +25,10 @@ image-wise or const, 1-channel masks, independent dependency): everything
 else falls back to the XLA path in sample/loop.py. Masks are
 distribution-identical but not stream-equal to the jax.random path (same
 caveat as ops/pallas/kmask.py; runs remain seed-deterministic per backend).
+Indexing keeps the EXACT-k degraded-count contract including tied uint32
+draws — exact_k_degrade adds a cumsum tie-correction pass mirroring
+ops/degrade.py:masks_from_uniforms (the bare bit-scan threshold alone would
+under-degrade by the tie deficit, ~hw²/2³³ per image-step).
 
 Layout: images enter as (B, C*HW) rows in channel-major order
 (NHWC -> transpose to NCHW -> reshape), so a block of 8 images fills all 8
@@ -57,7 +61,12 @@ def fused_supported(b: int, h: int, w: int, c: int) -> bool:
 def rowwise_kth_threshold(bits, k):
     """Per-row maximum uint32 T with count(row < T) <= k[row] — the greedy
     MSB-first scan of ops/pallas/kmask.py:greedy_kth_threshold, vectorized
-    over rows. bits: (R, N) uint32, k: (R, 1) int32. Returns (R, 1) uint32."""
+    over rows. bits: (R, N) uint32, k: (R, 1) int32. Returns (R, 1) uint32.
+
+    When draws TIE at the boundary value T, count(row < T) < k: thresholding
+    on `< T` alone under-degrades by the tie deficit (~N²/2³³ per row expected
+    — rare but nonzero). exact_k_degrade below adds the tie-correction pass;
+    use that for the exact-k contract."""
 
     def bit_step(b, t):
         cand = t | (jnp.uint32(1) << (31 - b))
@@ -67,6 +76,23 @@ def rowwise_kth_threshold(bits, k):
     return jax.lax.fori_loop(
         0, 32, bit_step, jnp.zeros((bits.shape[0], 1), jnp.uint32)
     )
+
+
+def exact_k_degrade(bits, k):
+    """Per-row boolean degrade-set of EXACTLY k[row] pixels: the k smallest
+    uint32 draws, boundary ties broken by lane order. The cumsum pass mirrors
+    ops/degrade.py:masks_from_uniforms' tie correction so the fused path keeps
+    the XLA path's exact-count contract even on tied draws (advisor r03).
+
+    bits: (R, N) uint32, k: (R, 1) int32 in [0, N]. Returns (R, N) bool.
+    """
+    thr = rowwise_kth_threshold(bits, k)
+    below = bits < thr
+    cnt = jnp.sum(below.astype(jnp.int32), axis=1, keepdims=True)
+    deficit = k - cnt  # >= 0; maximality of thr guarantees >= deficit ties
+    eq = bits == thr
+    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=1)  # 1-based among ties
+    return below | (eq & (tie_rank <= deficit))
 
 
 def fused_rows(
@@ -104,8 +130,8 @@ def fused_rows(
     elif select == "indexing":
         kt = amount_t.astype(jnp.int32)
         kn = amount_next.astype(jnp.int32)
-        keep_t = ~(bits_t < rowwise_kth_threshold(bits_t, kt))
-        keep_n = ~(bits_n < rowwise_kth_threshold(bits_n, kn))
+        keep_t = ~exact_k_degrade(bits_t, kt)
+        keep_n = ~exact_k_degrade(bits_n, kn)
     else:  # pragma: no cover - guarded by the dispatcher
         raise ValueError(select)
 

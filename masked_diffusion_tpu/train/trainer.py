@@ -311,10 +311,14 @@ class Trainer:
 
             from masked_diffusion_tpu.io.checkpoint import wait_for_async_saves
 
+            # capture BEFORE the nested try: inside the except handler below,
+            # exc_info() reports drain_err itself (never None), so testing it
+            # there would silently downgrade clean-exit drain failures
+            unwinding = _sys.exc_info()[0] is not None
             try:
                 wait_for_async_saves()
             except Exception as drain_err:
-                if _sys.exc_info()[0] is None:
+                if not unwinding:
                     raise
                 print(
                     "WARNING: async checkpoint drain failed while unwinding "

@@ -153,16 +153,45 @@ class TestPruneSafety:
         params = _tree(0)
         save_checkpoint(str(tmp_path), 10, 100, params)
         save_checkpoint(str(tmp_path), 20, 200, params)
-        # epoch 30: dir exists, write still in flight (only a tmp dir)
+        # epoch 30: dir exists, write still in flight (only a tmp dir);
+        # save_checkpoint passes its own path as `protect` right after
+        # dispatching — mirror that contract here
         os.makedirs(
             tmp_path / "checkpoint-epoch-30" / "unet.orbax-checkpoint-tmp-1"
         )
-        _prune_checkpoints(str(tmp_path), keep_last=1)
+        _prune_checkpoints(
+            str(tmp_path), keep_last=1,
+            protect=str(tmp_path / "checkpoint-epoch-30"),
+        )
         left = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
         # newest COMPLETE (epoch 20) survives; in-flight epoch 30 untouched
         assert left == ["checkpoint-epoch-20", "checkpoint-epoch-30"]
         latest = find_resume_checkpoint(str(tmp_path), "latest")
         assert latest.endswith("checkpoint-epoch-20")
+
+    def test_inflight_protected_despite_stale_higher_epochs(self, tmp_path):
+        """A previous run's leftover HIGHER-numbered dirs must not get the
+        in-flight save rmtree'd: protection is by explicit path, not by
+        max-epoch inference (advisor r03). The stale higher-numbered
+        incomplete garbage is deleted; the dispatched dir survives."""
+        from masked_diffusion_tpu.io.checkpoint import _prune_checkpoints
+
+        params = _tree(0)
+        save_checkpoint(str(tmp_path), 3, 30, params)
+        # previous run left a crashed higher-numbered dir (epoch 99)
+        os.makedirs(
+            tmp_path / "checkpoint-epoch-99" / "unet.orbax-checkpoint-tmp-9"
+        )
+        # current run dispatches epoch 5 (async, still in flight)
+        os.makedirs(
+            tmp_path / "checkpoint-epoch-5" / "unet.orbax-checkpoint-tmp-1"
+        )
+        _prune_checkpoints(
+            str(tmp_path), keep_last=2,
+            protect=str(tmp_path / "checkpoint-epoch-5"),
+        )
+        left = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint"))
+        assert left == ["checkpoint-epoch-3", "checkpoint-epoch-5"]
 
     def test_crashed_garbage_is_deleted_not_retained(self, tmp_path):
         """Older incomplete dirs are crashed-save leftovers: deleted outright,

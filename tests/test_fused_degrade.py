@@ -15,6 +15,7 @@ import pytest
 
 from masked_diffusion_tpu.ops import degrade as degrade_ops
 from masked_diffusion_tpu.ops.pallas.fused_degrade import (
+    exact_k_degrade,
     fused_rows,
     rowwise_kth_threshold,
 )
@@ -47,6 +48,40 @@ class TestRowwiseKth:
         for r in range(R):
             sel = int((np.asarray(bits[r]) < thr[r, 0]).sum())
             assert sel == int(k[r, 0])
+
+
+class TestExactKTies:
+    def test_exact_counts_under_heavy_ties(self):
+        """Draws quantized to 8 distinct values force boundary ties at nearly
+        every k; exact_k_degrade must still return EXACTLY k per row (the
+        bare bit-scan threshold under-degrades by the tie deficit —
+        advisor r03). Ties are broken by lane order among the boundary
+        value's occurrences."""
+        rng = np.random.default_rng(7)
+        bits = jnp.asarray(
+            (rng.integers(0, 8, size=(R, HW), dtype=np.uint32)) << 29
+        )
+        for kval in (0, 1, 7, 13, 32, HW - 1, HW):
+            k = jnp.full((R, 1), kval, jnp.int32)
+            deg = np.asarray(exact_k_degrade(bits, k))
+            assert (deg.sum(axis=1) == kval).all(), kval
+            # selection is still order-correct: every degraded bit value is
+            # <= every kept bit value OR they tie at the boundary
+            for r in range(R):
+                if 0 < kval < HW:
+                    assert np.asarray(bits)[r][deg[r]].max() <= \
+                        np.asarray(bits)[r][~deg[r]].min()
+
+    def test_all_equal_bits(self):
+        """The degenerate all-tied row: exactly k lane-first pixels."""
+        bits = jnp.full((R, HW), np.uint32(1 << 31))
+        k = jnp.asarray([[0], [5], [HW // 2], [HW]], jnp.int32)
+        deg = np.asarray(exact_k_degrade(bits, k))
+        for r in range(R):
+            kval = int(k[r, 0])
+            assert deg[r].sum() == kval
+            np.testing.assert_array_equal(deg[r][:kval], True)
+            np.testing.assert_array_equal(deg[r][kval:], False)
 
 
 class TestFusedRowsExactness:
@@ -182,10 +217,10 @@ class TestLoopGating:
     def test_fused_update_pads_sub8_batches(self):
         """Batches not divisible by 8 are row-padded (Mosaic rejects sublane
         blocks < 8); outputs are sliced back to the real batch. Interpret
-        mode stubs the PRNG (all-zero bits -> keep-mask all zero for
-        indexing k>0 thresholds), so this checks shape plumbing + the
-        all-degraded fill semantics, not mask distributions (those are
-        covered on real TPUs by benchmarks/check_fused_tpu.py)."""
+        mode stubs the PRNG (all-zero bits -> every draw TIES, so the
+        exact_k_degrade tie correction selects exactly k lane-first pixels),
+        checking shape plumbing + exact-k counts, not mask distributions
+        (those are covered on real TPUs by benchmarks/check_fused_tpu.py)."""
         import jax
         import jax.numpy as jnp
 
@@ -204,11 +239,19 @@ class TestLoopGating:
         )
         assert out.shape == (b, s, s, 3)
         assert mask.shape == (b, s, s, 3)
-        # zero-bit PRNG stub: the exact-k bit-scan threshold stays 0, so no
-        # pixel is below it -> masks all-keep, D(x0,t) == D(x0,t-1) == x0,
-        # and the cold-diffusion update collapses to out == xt
+        # zero-bit PRNG stub: all draws tie, so exact_k_degrade degrades the
+        # first k lane-order pixels. x0 is CONSTANT 1, so the image-wise
+        # degraded-area mean is 1 and D(x0,t) == D(x0,t-1) == x0 regardless
+        # of the masks — the cold-diffusion update collapses to out == xt
         np.testing.assert_allclose(np.asarray(out), np.asarray(xt), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(mask), 1.0, atol=0)
+        kn = s * s // 3
+        mask_np = np.asarray(mask)
+        flat = mask_np[..., 0].reshape(b, s * s)
+        np.testing.assert_array_equal(flat[:, :kn], 0.0)  # exact-k lane-first
+        np.testing.assert_array_equal(flat[:, kn:], 1.0)
+        # channel broadcast intact
+        np.testing.assert_array_equal(mask_np[..., 1], mask_np[..., 0])
+        np.testing.assert_array_equal(mask_np[..., 2], mask_np[..., 0])
 
     def test_fused_gate_auto_on_indexing_single_tpu(self, monkeypatch):
         """Auto-on (no env): indexing + TPU + single device only — the

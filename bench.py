@@ -8,7 +8,26 @@ bf16 compute. vs_baseline is measured against the cached CPU-reference probe
 arithmetic on CPU torch, since the reference repo neither runs as checked in
 nor publishes numbers; target is >=10x).
 
-Prints ONE JSON line:
+Deadline-proofing (the round-3 failure mode was a 240s tunnel wait + a ~250s
+tunneled scan compile exceeding the driver budget with ZERO output):
+  * The bench re-prints a progressively richer JSON line after every
+    completed section, so a kill at ANY point leaves the last line parseable
+    (`extra.sections` says what had finished).
+  * SIGTERM re-emits the latest snapshot and exits 0.
+  * A self-budget (`BENCH_DEADLINE_S`, default 560s) gates each section on a
+    live estimate of its compile cost; sections that do not fit are skipped
+    and listed in `extra.skipped` instead of being killed mid-compile.
+  * The TPU wait is bounded at `BENCH_TPU_WAIT_S` (default 120s) and the
+    cached torch CPU baseline is loaded BEFORE the wait (it needs no jax).
+
+Sections, in priority order:
+  1. headline — linear+thresholding 1000-step sampling scan (the metric).
+  2. indexing_log — the reference-DEFAULT mode (select_degrade_pixel=
+     'indexing', main_train_masked.py:395 + log schedule) with the fused
+     Pallas degrade+update kernel auto-on → `extra.indexing_log`.
+  3. training — flagship jitted train step steps/sec.
+
+Prints JSON lines; the LAST one is the round record:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
 """
 
@@ -16,11 +35,40 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+START = time.monotonic()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 560))
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - START)
+
+
+class _Emitter:
+    """Progressive JSON-line emitter; the last printed line is the record."""
+
+    def __init__(self) -> None:
+        self.snapshot: dict | None = None
+
+    def emit(self, result: dict) -> None:
+        self.snapshot = result
+        print(json.dumps(result), flush=True)
+
+    def install_sigterm(self) -> None:
+        def _on_term(signum, frame):  # driver timeout: salvage the record
+            if self.snapshot is not None:
+                snap = dict(self.snapshot)
+                snap.setdefault("extra", {})["terminated"] = True
+                print(json.dumps(snap), flush=True)
+            os._exit(0)
+
+        signal.signal(signal.SIGTERM, _on_term)
 
 
 def _wait_for_tpu(max_wait_s: float) -> None:
@@ -31,11 +79,16 @@ def _wait_for_tpu(max_wait_s: float) -> None:
     subprocesses (a failed in-process init can wedge the PJRT client) and
     proceed on whatever backend is live once the budget is spent — the JSON
     records `extra.backend` either way.
+
+    The probe subprocess itself initializes (and then releases) the TPU
+    client; per the one-TPU-job-at-a-time HBM-release lag on this tunnel, a
+    short sleep after a successful probe keeps the measured process from
+    racing the probe's teardown into RESOURCE_EXHAUSTED.
     """
     import subprocess
 
     probe = "import jax; assert jax.devices()[0].platform == 'tpu'"
-    deadline = time.time() + max_wait_s
+    deadline = time.monotonic() + max_wait_s
     while True:
         try:
             ok = subprocess.run(
@@ -43,21 +96,54 @@ def _wait_for_tpu(max_wait_s: float) -> None:
             ).returncode == 0
         except subprocess.TimeoutExpired:  # wedged tunnel: same as down
             ok = False
-        if ok or time.time() >= deadline:
+        if ok:
+            time.sleep(5)  # let the probe's HBM reservation fully release
+            return
+        if time.monotonic() >= deadline:
             return
         print(
             f"bench: TPU backend not reachable, retrying "
-            f"({int(deadline - time.time())}s left)...",
+            f"({int(deadline - time.monotonic())}s left)...",
             file=sys.stderr, flush=True,
         )
         time.sleep(30)
 
 
 def main() -> int:
-    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", 300))
+    emitter = _Emitter()
+    emitter.install_sigterm()
+
+    # ------------------------------------------------- CPU baseline (no jax)
+    vs_baseline_ips = None
+    baseline_info: dict = {}
+    try:
+        from benchmarks.torch_cpu_reference import get_or_measure_baseline
+
+        baseline = get_or_measure_baseline()  # cached in benchmarks/
+        vs_baseline_ips = baseline.get("images_per_sec_1000step")
+        baseline_info = {
+            "cpu_reference_images_per_sec": vs_baseline_ips,
+            "cpu_reference_sec_per_step": baseline.get("sec_per_step"),
+        }
+    except Exception as e:  # torch missing or probe failure: report raw value
+        baseline_info = {"baseline_error": str(e)}
+
+    # pre-jax record: in-process backend init can HANG outright when the
+    # tunnel is down, so the first parseable line must not depend on it
+    result: dict = {
+        "metric": "sampled images/sec/chip (masked DDPM reverse scan, bf16)",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "extra": {"sections": [], "skipped": [], "stage": "pre-jax",
+                  **baseline_info},
+    }
+    emitter.emit(result)
+
+    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", 120))
     if wait_s > 0 and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
         try:
-            _wait_for_tpu(wait_s)
+            _wait_for_tpu(min(wait_s, max(_remaining() - 120, 0)))
         except Exception:
             pass  # probe trouble must never block the bench itself
 
@@ -85,26 +171,31 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", 64))
     steps = int(os.environ.get("BENCH_STEPS", 1000))
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
-    # BENCH_SCHEDULE/BENCH_SELECT expose the reference-DEFAULT sampling mode
-    # (indexing + log, main_train_masked.py:395) alongside the headline
-    # thresholding+linear config; log/sigmoid dedup their tables, so the
-    # actual step count is reported in extra.actual_steps
+    # reference-default mode (indexing + log, main_train_masked.py:395) at the
+    # celeba_hq workload's T (script_main.sh: ddpm_num_steps=4096); log dedups
+    # its table so the realized step count is reported alongside
+    idx_steps = int(os.environ.get("BENCH_IDX_STEPS", 4096))
     sched_name = os.environ.get("BENCH_SCHEDULE", "linear")
     select = os.environ.get("BENCH_SELECT", "thresholding")
 
-    cfg = Config(
-        method="mean_shift", data_size=data_size,
-        ddpm_schedule=sched_name, ddpm_num_steps=steps,
-        select_degrade_pixel=select, degrade_channel="1-channel",
-        mean_option="degraded_area", mean_area="image-wise",
-        shift_type="1-d_constant", momentum_adaptive="base_momentum",
-        sampling_mask_dependency="independent", mixed_precision="bf16",
-        sample_num=batch, batch_size=batch, use_ema=True,
-    )
-    schedule = build_schedule(
-        cfg.ddpm_schedule, cfg.ddpm_num_steps, data_size, cfg.select_degrade_pixel
-    )
-    used = schedule.timesteps_for_epoch(0, 10, scale=1)
+    def make_cfg(schedule: str, sel: str, num_steps: int):
+        cfg = Config(
+            method="mean_shift", data_size=data_size,
+            ddpm_schedule=schedule, ddpm_num_steps=num_steps,
+            select_degrade_pixel=sel, degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+            shift_type="1-d_constant", momentum_adaptive="base_momentum",
+            sampling_mask_dependency="independent", mixed_precision="bf16",
+            sample_num=batch, batch_size=batch, use_ema=True,
+        )
+        sched = build_schedule(
+            cfg.ddpm_schedule, cfg.ddpm_num_steps, data_size,
+            cfg.select_degrade_pixel,
+        )
+        used = sched.timesteps_for_epoch(0, 10, scale=1)
+        return cfg, sched, used
+
+    cfg, schedule, used = make_cfg(sched_name, select, steps)
     if sched_name == "linear":
         assert len(used) == steps
     steps = len(used)
@@ -119,83 +210,131 @@ def main() -> int:
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)))
     n_params = count_params(params)
 
-    # ---------------------------------------------------------------- sampling
-    sample_fn = make_sample_fn(model, schedule, cfg, used)
-    latent = jnp.full((batch, data_size, data_size, 3), 0.1, jnp.float32)
-    key = jax.random.PRNGKey(1)
+    extra = {
+        "schedule": sched_name,
+        "select_degrade_pixel": select,
+        "actual_steps": steps,
+        "batch": batch,
+        "n_params": n_params,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "sections": [],
+        "skipped": [],
+        "stage": "setup",
+        "deadline_s": DEADLINE_S,
+        **baseline_info,
+    }
+    result["metric"] = (
+        f"sampled images/sec/chip ({steps}-step masked DDPM, "
+        f"{data_size}x{data_size}, bf16)"
+    )
+    result["extra"] = extra
+    # backend is up and the model built: a kill during the long scan compile
+    # now leaves `parsed != null` with the backend recorded (round 3 left
+    # nothing)
+    emitter.emit(result)
 
+    # conservative prior for a tunneled flagship-scan compile; replaced by the
+    # measured value after the headline section (BENCH_r02: 243s incl. first run)
+    est_scan_compile = float(os.environ.get("BENCH_EST_COMPILE_S", 270))
+
+    # ---------------------------------------------------------------- headline
+    # always attempt: a mid-compile kill leaves the provisional line, which is
+    # no worse than skipping — and the headline is the round record
+    latent = jnp.full((batch, data_size, data_size, 3), 0.1, jnp.float32)
+    sample_fn = make_sample_fn(model, schedule, cfg, used)
     t0 = time.perf_counter()
-    jax.block_until_ready(sample_fn(params, latent, key))  # compile + run
+    jax.block_until_ready(sample_fn(params, latent, jax.random.PRNGKey(1)))
     compile_plus_first = time.perf_counter() - t0
+    est_scan_compile = compile_plus_first
 
     times = []
     for i in range(repeats):
+        if times and _remaining() < 3 * times[-1]:
+            break  # one timed run suffices when the budget is tight
         t0 = time.perf_counter()
         jax.block_until_ready(sample_fn(params, latent, jax.random.PRNGKey(2 + i)))
         times.append(time.perf_counter() - t0)
-    sample_time = min(times)
+    sample_time = min(times) if times else compile_plus_first
     images_per_sec = batch / sample_time
 
+    result["value"] = round(images_per_sec, 4)
+    if vs_baseline_ips:
+        result["vs_baseline"] = round(images_per_sec / vs_baseline_ips, 2)
+    extra["sample_loop_sec"] = round(sample_time, 3)
+    extra["compile_plus_first_sec"] = round(compile_plus_first, 1)
+    extra["sections"].append("headline")
+    emitter.emit(result)
+    del sample_fn, latent
+
+    # ------------------------------------------------------------ indexing+log
+    # round-3's engineering target: reference-default mode with the fused
+    # Pallas degrade+update (ops/pallas/fused_degrade.py) auto-on — captured
+    # in the driver record instead of docs-only (VERDICT r03 next-step 2)
+    run_est = 0.02 * idx_steps + 15
+    if _remaining() > 1.1 * est_scan_compile + run_est:
+        from masked_diffusion_tpu.sample.loop import _use_fused_degrade
+
+        idx_cfg, idx_sched, idx_used = make_cfg("log", "indexing", idx_steps)
+        idx_fn = make_sample_fn(model, idx_sched, idx_cfg, idx_used)
+        latent = jnp.full((batch, data_size, data_size, 3), 0.1, jnp.float32)
+        t0 = time.perf_counter()
+        jax.block_until_ready(idx_fn(params, latent, jax.random.PRNGKey(11)))
+        idx_compile_plus_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(idx_fn(params, latent, jax.random.PRNGKey(12)))
+        idx_time = time.perf_counter() - t0
+        n_idx = len(idx_used)
+        extra["indexing_log"] = {
+            "requested_steps": idx_steps,
+            "actual_steps": n_idx,
+            "ms_per_step": round(idx_time / n_idx * 1e3, 3),
+            "images_per_sec": round(batch / idx_time, 4),
+            "fused_pallas_degrade": _use_fused_degrade(
+                idx_cfg, "independent", "base_momentum", False
+            ),
+            "compile_plus_first_sec": round(idx_compile_plus_first, 1),
+        }
+        extra["indexing_log_ms_per_step"] = extra["indexing_log"]["ms_per_step"]
+        extra["sections"].append("indexing_log")
+        emitter.emit(result)
+        del idx_fn, latent
+    else:
+        extra["skipped"].append("indexing_log")
+
     # ---------------------------------------------------------------- training
-    lr = build_lr_schedule("cosine", 1e-4, 0, 1000)
-    tx = build_optimizer("adamw", lr, 1.0)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), (batch, data_size, data_size, 3), tx
-    )
-    # donate: the state (params+EMA+opt moments, ~2.3GB fp32) updates in place
-    # instead of allocating fresh buffers every step — same as the Trainer
-    step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=True)
-    batch_data = jnp.asarray(
-        np.random.default_rng(0).uniform(-1, 1, (batch, data_size, data_size, 3)),
-        jnp.float32,
-    )
-    state, _ = step_fn(state, batch_data, jax.random.PRNGKey(3))  # compile
-    jax.block_until_ready(state.params)
-    n_train = 10
-    t0 = time.perf_counter()
-    for i in range(n_train):
-        state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(4 + i))
-    jax.block_until_ready(state.params)
-    train_steps_per_sec = n_train / (time.perf_counter() - t0)
+    if _remaining() > 1.1 * est_scan_compile + 20:
+        lr = build_lr_schedule("cosine", 1e-4, 0, 1000)
+        tx = build_optimizer("adamw", lr, 1.0)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (batch, data_size, data_size, 3), tx
+        )
+        # donate: the state (params+EMA+opt moments, ~2.3GB fp32) updates in
+        # place instead of allocating fresh buffers every step — as in Trainer
+        step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=True)
+        batch_data = jnp.asarray(
+            np.random.default_rng(0).uniform(
+                -1, 1, (batch, data_size, data_size, 3)
+            ),
+            jnp.float32,
+        )
+        state, _ = step_fn(state, batch_data, jax.random.PRNGKey(3))  # compile
+        jax.block_until_ready(state.params)
+        n_train = 10
+        t0 = time.perf_counter()
+        for i in range(n_train):
+            state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(4 + i))
+        jax.block_until_ready(state.params)
+        train_steps_per_sec = n_train / (time.perf_counter() - t0)
+        extra["train_steps_per_sec"] = round(train_steps_per_sec, 3)
+        extra["train_imgs_per_sec"] = round(train_steps_per_sec * batch, 1)
+        extra["sections"].append("training")
+    else:
+        extra["skipped"].append("training")
 
-    # ---------------------------------------------------------------- baseline
-    vs_baseline = None
-    baseline_info = {}
-    try:
-        from benchmarks.torch_cpu_reference import get_or_measure_baseline
-
-        baseline = get_or_measure_baseline()
-        base_ips = baseline.get("images_per_sec_1000step")
-        if base_ips:
-            vs_baseline = images_per_sec / base_ips
-            baseline_info = {
-                "cpu_reference_images_per_sec": base_ips,
-                "cpu_reference_sec_per_step": baseline.get("sec_per_step"),
-            }
-    except Exception as e:  # torch missing or probe failure: report raw value
-        baseline_info = {"baseline_error": str(e)}
-
-    result = {
-        "metric": f"sampled images/sec/chip ({steps}-step masked DDPM, {data_size}x{data_size}, bf16)",
-        "value": round(images_per_sec, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
-        "extra": {
-            "schedule": sched_name,
-            "select_degrade_pixel": select,
-            "actual_steps": steps,
-            "sample_loop_sec": round(sample_time, 3),
-            "compile_plus_first_sec": round(compile_plus_first, 1),
-            "train_steps_per_sec": round(train_steps_per_sec, 3),
-            "train_imgs_per_sec": round(train_steps_per_sec * batch, 1),
-            "batch": batch,
-            "n_params": n_params,
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-            **baseline_info,
-        },
-    }
-    print(json.dumps(result))
+    extra["stage"] = "done"
+    extra["total_sec"] = round(time.monotonic() - START, 1)
+    emitter.emit(result)
     return 0
 
 

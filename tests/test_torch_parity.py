@@ -75,7 +75,10 @@ def _attn(m):
     return parts
 
 
-def port_weights(tmodel) -> dict:
+def port_weights(
+    tmodel, channels=CHANNELS, layers=LAYERS,
+    attn_down=ATTN_DOWN, attn_up=ATTN_UP,
+) -> dict:
     p = {
         "time_dense1": _dense(tmodel.temb[0]),
         "time_dense2": _dense(tmodel.temb[2]),
@@ -86,52 +89,60 @@ def port_weights(tmodel) -> dict:
         "norm_out": _norm(tmodel.norm_out),
         "conv_out": _conv(tmodel.conv_out),
     }
-    n = len(CHANNELS)
+    n = len(channels)
     for i in range(n):
-        for j in range(LAYERS):
+        for j in range(layers):
             p[f"down_{i}_res_{j}"] = _resnet(tmodel.down[i][j])
-            if ATTN_DOWN[i]:
+            if attn_down[i]:
                 p[f"down_{i}_attn_{j}"] = _attn(tmodel.attn_d[i][j])
         if i != n - 1:
             p[f"down_{i}_downsample"] = {"conv": _conv(tmodel.downsample[i])}
     # attn_up is diffusers up_block_types order: index 0 = deepest up block
     for i in range(n):
-        for j in range(LAYERS + 1):
+        for j in range(layers + 1):
             p[f"up_{i}_res_{j}"] = _resnet(tmodel.up[i][j])
-            if ATTN_UP[i]:
+            if attn_up[i]:
                 p[f"up_{i}_attn_{j}"] = _attn(tmodel.attn_u[i][j])
         if i != n - 1:
             p[f"up_{i}_upsample"] = {"conv": _conv(tmodel.upsample[i][1])}
     return {"params": p}
 
 
-def test_forward_parity():
-    torch.manual_seed(0)
+def run_forward_parity(
+    channels, layers, attn_down, attn_up, in_ch=3, size=16,
+    atol=2e-4, rtol=2e-3, seed=0, check_tree=False,
+):
+    """Build twin + flax UNet at one topology, port weights, compare the
+    forward on a fixed probe batch. The strongest wiring check available:
+    any disagreement on resnet/attention interleave, skip order, or
+    up-block channel bookkeeping shifts every downstream activation."""
+    torch.manual_seed(seed)
     tmodel = build_torch_unet(
-        channels=CHANNELS, layers_per_block=LAYERS,
-        attn_down=ATTN_DOWN, attn_up=ATTN_UP, in_ch=3,
+        channels=channels, layers_per_block=layers,
+        attn_down=attn_down, attn_up=attn_up, in_ch=in_ch,
     ).eval()
-
     cfg = UNetConfig(
-        sample_size=16, in_channels=3, out_channels=3,
-        block_out_channels=CHANNELS, layers_per_block=LAYERS,
-        attn_down=ATTN_DOWN, attn_up=ATTN_UP,
+        sample_size=size, in_channels=in_ch, out_channels=in_ch,
+        block_out_channels=tuple(channels), layers_per_block=layers,
+        attn_down=tuple(attn_down), attn_up=tuple(attn_up),
     )
     jmodel = UNet2D(config=cfg)
 
-    rng = np.random.default_rng(0)
-    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(2, size, size, in_ch)).astype(np.float32)
     t = np.array([17.0, 403.0], dtype=np.float32)
 
-    # template init only pins the tree structure; weights come from torch
-    template = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))
-    ported = port_weights(tmodel)
-    assert jax.tree.structure(template) == jax.tree.structure(
-        jax.tree.map(jnp.asarray, ported)
-    )
-    chex_shapes_t = jax.tree.map(lambda a: a.shape, template)
-    chex_shapes_p = jax.tree.map(lambda a: np.asarray(a).shape, ported)
-    assert chex_shapes_t == chex_shapes_p
+    ported = port_weights(tmodel, channels, layers, attn_down, attn_up)
+    if check_tree:
+        template = jmodel.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t)
+        )
+        assert jax.tree.structure(template) == jax.tree.structure(
+            jax.tree.map(jnp.asarray, ported)
+        )
+        shapes_t = jax.tree.map(lambda a: a.shape, template)
+        shapes_p = jax.tree.map(lambda a: np.asarray(a).shape, ported)
+        assert shapes_t == shapes_p
 
     with torch.no_grad():
         t_out = (
@@ -140,6 +151,46 @@ def test_forward_parity():
             .transpose(0, 2, 3, 1)
         )
     j_out = np.asarray(jmodel.apply(jax.tree.map(jnp.asarray, ported), x, t))
-
     assert j_out.shape == t_out.shape
-    np.testing.assert_allclose(j_out, t_out, atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(j_out, t_out, atol=atol, rtol=rtol)
+
+
+def test_forward_parity():
+    run_forward_parity(CHANNELS, LAYERS, ATTN_DOWN, ATTN_UP, check_tree=True)
+
+
+@pytest.mark.parametrize("num_attention", [1, 2, 3, 4, 5])
+def test_placement_grid_parity(num_attention):
+    """Forward parity across the FULL --num_attention placement table
+    (utils/model.py:6-20) at the real 6-level depth: a shared misreading of
+    diffusers block wiring at any attention position (resnet/attention
+    interleave, skip order at attentive up levels) would shift outputs here.
+    Channels stay 64 so GroupNorm keeps 32 groups on both sides; 32² input
+    exercises all 5 downsamples (deepest level at 1x1)."""
+    from masked_diffusion_tpu.models.factory import attention_placement
+
+    attn_down, attn_up = attention_placement(num_attention, 6)
+    run_forward_parity(
+        (64,) * 6, 1, attn_down, attn_up, size=32, seed=num_attention,
+    )
+
+
+def test_one_channel_parity():
+    """MNIST-shaped 1-channel in/out (the reference trains 1-channel MNIST;
+    scheduler.py's 3-channel hardcodes were the bug class to avoid)."""
+    run_forward_parity(CHANNELS, LAYERS, ATTN_DOWN, ATTN_UP, in_ch=1, seed=7)
+
+
+def test_zoo_unet6_32_parity():
+    """The unet6 32² zoo table (models_Unet.py:142-150: base 128, mults
+    [1,2,2,2], attention at level 2) against the twin at the SAME topology —
+    parity beyond the factory family."""
+    from masked_diffusion_tpu.models.zoo import _zoo_config
+
+    cfg = _zoo_config("unet6", 3, 32, 3)
+    assert cfg.block_out_channels == (128, 256, 256, 256)
+    run_forward_parity(
+        cfg.block_out_channels, cfg.layers_per_block,
+        cfg.attn_down, cfg.attn_up, size=32, seed=11,
+        atol=5e-4, rtol=2e-3,  # deeper/wider accumulation than the base case
+    )

@@ -5,6 +5,11 @@ One dataclass replaces the reference's three stacked config layers (argparse wit
 main_train_masked.py:347-419 and code/script/**). Field names and defaults match
 the reference argparse surface so launch scripts translate 1:1; the CLI shim in
 cli/main_train_masked.py exposes the same flag names.
+
+Fields marked "INERT (reference fidelity)" are accepted and recorded in
+option.ini but consumed by NOTHING — exactly as in the reference, where they
+are parsed and never read (or read by commented-out code). They exist so
+reference launch scripts run unmodified; see README "Fidelity notes".
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ from typing import Any, Optional
 class Config:
     # ------------------------------------------------------------------ dirs / task
     use_wandb: bool = True
+    # INERT (reference fidelity): the reference's mlflow calls are commented
+    # out (visualizer.py:80-91); the flag routes nowhere on either side
     use_mlflow: bool = True
     task: str = "train"  # train | sample | dataset
     content: str = "test_code"
@@ -34,7 +41,7 @@ class Config:
     time: str = ""
     wandb_name: str = "diffusion"
     method: str = "base"  # base | mean_shift | test
-    test_method: str = "base"
+    test_method: str = "base"  # INERT (reference fidelity): parsed, never read
     title: str = ""
     # ------------------------------------------------------------------ model / optim
     model: str = "default"
@@ -57,7 +64,7 @@ class Config:
     ema_max_decay: float = 0.9999
     loss_weight_use: bool = False
     loss_weight_power_base: float = 10.0
-    loss_space: str = "x_0"
+    loss_space: str = "x_0"  # INERT (reference fidelity): parsed, never read
     ddpm_num_steps: int = 1000
     updated_ddpm_num_steps: int = 1000  # filled in after schedule dedup
     ddpm_schedule: str = "linear"  # linear | log | exponential | sigmoid
@@ -67,6 +74,7 @@ class Config:
     degrade_channel: str = "1-channel"  # 1-channel | 3-channel
     mean_option: Any = 0  # float-like | 'degraded_area' | 'non_degraded_area' | '0'
     mean_area: str = "image-wise"  # image-wise | channel-wise
+    # INERT (reference fidelity): parsed, never read
     mean_value_accumulate: bool = False
     shift_type: str = "noise_with_perturbation"
     # ['1-d_constant','3-d_constant','noise_reduction','noise_std_reduction',
@@ -77,14 +85,22 @@ class Config:
     sampling: str = "base"  # base | momentum
     momentum_adaptive: str = "base_momentum"
     # ['base_momentum','base_sampling','momentum','boosting']
+    # INERT (reference fidelity): parsed, never read (the 'momentum' update
+    # rule reads adaptive_momentum_rate below, sampler.py:223-231)
     adaptive_decay_rate: float = 0.999
     adaptive_momentum_rate: float = 0.9
     sampling_mask_dependency: str = "independent"
     # ['dependent_prev','independent','dependent_t']
     sample_num: int = 100
-    sample_epoch_ratio: float = 0.2
+    sample_epoch_ratio: float = 0.2  # INERT (reference fidelity): never read
     resume_from_checkpoint: str = "False"
+    # INERT (TPU-native): the reference passes this to DataLoader workers
+    # (main_train_masked.py:288); this framework preloads datasets into RAM
+    # (data/datasets.py) and feeds the device async, so there is no worker
+    # pool to size
     num_workers: int = 32
+    # INERT (reference fidelity): parsed, never read on either side —
+    # checkpoint cadence is save_images_epochs (trainer.py save cadence)
     checkpointing_steps: int = 500
     save_images_epochs: int = 10
     output_dir: Optional[str] = None

@@ -140,7 +140,7 @@ def nested_threshold_masks(
 _PALLAS_KMASK_MIN_HW = 16384
 
 
-def _use_pallas_kmask(hw: int) -> bool:
+def _use_pallas_kmask(hw: int, batch: int = 0, mesh=None) -> bool:
     """TPU kernel for the indexing path: auto-on at large images (see
     _PALLAS_KMASK_MIN_HW measurements), forced with MDT_PALLAS_KMASK=1/0.
 
@@ -151,20 +151,26 @@ def _use_pallas_kmask(hw: int) -> bool:
     stream-equal to the jax.random path (same-backend runs stay seed-
     deterministic).
 
-    Auto-on additionally requires a SINGLE visible device: pallas_call has no
-    GSPMD partitioning rule, so under a multi-chip mesh with the batch
-    sharded over 'data' XLA must replicate the call (all-gathering the batch,
-    negating the measured ~1 ms win). The measured wins are single-chip;
-    MDT_PALLAS_KMASK=1 still forces it for callers who wrap it in shard_map
-    themselves."""
+    pallas_call has no GSPMD partitioning rule, so under a multi-chip mesh
+    with the batch sharded over 'data' a plain jit would replicate the call
+    (all-gathering the batch, negating the measured ~1 ms win). Multi-device
+    auto-on therefore requires the caller to pass its `mesh` — generate_masks
+    then routes through the shard_map wrapper
+    (ops/pallas/kmask.py:exact_count_masks_pallas_sharded), provided the
+    batch divides across the 'data' axis. Without a mesh, auto-on stays
+    single-device-only; MDT_PALLAS_KMASK=1 still forces the kernel for
+    callers who wrap it themselves."""
     import os
 
     env = os.environ.get("MDT_PALLAS_KMASK", "").lower()
     if env in ("0", "false"):
         return False
-    if env not in ("1", "true") and (
-        hw < _PALLAS_KMASK_MIN_HW or jax.device_count() > 1
+    if jax.device_count() > 1 and not (
+        mesh is not None and batch % mesh.shape["data"] == 0
     ):
+        if env not in ("1", "true") or mesh is not None:
+            return False
+    if env not in ("1", "true") and hw < _PALLAS_KMASK_MIN_HW:
         return False
     return jax.default_backend() == "tpu"
 
@@ -175,14 +181,30 @@ def generate_masks(
     amount: Array,
     select_degrade_pixel: str,
     degrade_channel: str,
+    mesh=None,
 ) -> Array:
-    """Dispatch mask generation; returns masks broadcast to img's shape."""
+    """Dispatch mask generation; returns masks broadcast to img's shape.
+
+    `mesh` (a jax Mesh with a 'data' axis, batch sharded over it) lets the
+    pallas kmask path stay eligible on multi-chip runs via shard_map — see
+    _use_pallas_kmask."""
     b, h, w, c = img.shape
     if select_degrade_pixel == "indexing":
-        if _use_pallas_kmask(h * w):
-            from masked_diffusion_tpu.ops.pallas.kmask import exact_count_masks_pallas
+        if _use_pallas_kmask(h * w, b, mesh):
+            if mesh is not None and mesh.shape["data"] > 1:
+                from masked_diffusion_tpu.ops.pallas.kmask import (
+                    exact_count_masks_pallas_sharded,
+                )
 
-            masks = exact_count_masks_pallas(key, b, h, w, amount)
+                masks = exact_count_masks_pallas_sharded(
+                    key, b, h, w, amount, mesh=mesh
+                )
+            else:
+                from masked_diffusion_tpu.ops.pallas.kmask import (
+                    exact_count_masks_pallas,
+                )
+
+                masks = exact_count_masks_pallas(key, b, h, w, amount)
         else:
             masks = exact_count_masks(key, b, h, w, amount)
         return jnp.broadcast_to(masks, img.shape)
@@ -250,6 +272,7 @@ def degrade_training(
     degrade_channel: str,
     mean_option,
     mean_area: str,
+    mesh=None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Training-time degradation (scheduler.py:266-323).
 
@@ -259,7 +282,9 @@ def degrade_training(
       degrade_mask = (1-m)*mu + m       (mu on degraded pixels, 1 elsewhere)
       mean_mask    = mu everywhere
     """
-    masks = generate_masks(key, img, amount, select_degrade_pixel, degrade_channel)
+    masks = generate_masks(
+        key, img, amount, select_degrade_pixel, degrade_channel, mesh
+    )
     mean_pixel = compute_mean_pixel(img, masks, mean_option, mean_area)
     inv = 1.0 - masks
     degrade_img = inv * mean_pixel + masks * img
@@ -276,11 +301,14 @@ def degrade_independent_base_sampling(
     degrade_channel: str,
     mean_option,
     mean_area: str,
+    mesh=None,
 ) -> Tuple[Array, Array, Array]:
     """Sampling-time degradation with a fresh independent mask
     (scheduler.py:418-477). Returns (degrade_img, degrade_mask, mean_mask)
     where degrade_mask is the *binary* mask (unlike training)."""
-    masks = generate_masks(key, img, amount, select_degrade_pixel, degrade_channel)
+    masks = generate_masks(
+        key, img, amount, select_degrade_pixel, degrade_channel, mesh
+    )
     mean_pixel = compute_mean_pixel(img, masks, mean_option, mean_area)
     degrade_img = (1.0 - masks) * mean_pixel + masks * img
     mean_mask = jnp.broadcast_to(mean_pixel, img.shape)

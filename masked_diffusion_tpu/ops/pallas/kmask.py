@@ -117,3 +117,40 @@ def exact_count_masks_pallas(
 
     masks = out.reshape(batch, hw_pad)[:, :hw]
     return masks.reshape(batch, height, width, 1)
+
+
+def exact_count_masks_pallas_sharded(
+    key,
+    batch: int,
+    height: int,
+    width: int,
+    counts,
+    *,
+    mesh,
+    axis: str = "data",
+    interpret: bool = False,
+):
+    """Data-parallel multi-chip form of exact_count_masks_pallas.
+
+    Same rationale as fused_degrade.fused_degrade_update_sharded: pallas_call
+    has no GSPMD rule, so the kernel is shard_mapped over the batch axis with
+    one independent per-shard grid; each shard folds its axis index into the
+    key for an independent PRNG stream. `batch` is the GLOBAL batch and must
+    divide by the axis size (callers check — ops/degrade.py:generate_masks).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    if batch % n:
+        raise ValueError(f"batch {batch} not divisible by mesh axis {axis}={n}")
+
+    def body(k, c):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+        return exact_count_masks_pallas(
+            k, batch // n, height, width, c, interpret
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
+        check_vma=False,
+    )(key, jnp.asarray(counts, jnp.int32).reshape(batch))

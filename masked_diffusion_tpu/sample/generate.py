@@ -72,7 +72,8 @@ def generate_images(
         validate_spatial(mesh_plan, cfg.data_size)
         latent_sharding = act_sharding = activation_sharding(mesh_plan)
     sample_fn = make_sample_fn(
-        model, schedule, cfg, used, activation_sharding=act_sharding
+        model, schedule, cfg, used, activation_sharding=act_sharding,
+        mesh=mesh_plan.mesh if mesh_plan is not None else None,
     )
     if mesh_plan is not None:
         if mesh_plan.model_size > 1 and not cfg.mesh_spatial:

@@ -53,7 +53,7 @@ def trajectory_images(buf, height: int, width: int, channels: int):
     return buf.reshape(t, k, height, width, channels)
 
 
-def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
+def _use_fused_degrade(cfg, dependency, rule, capture_trajectory, mesh=None) -> bool:
     """Gate the fused pallas degrade+update kernel.
 
     Coverage: independent dependency, base_momentum/base_sampling rules,
@@ -65,9 +65,11 @@ def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
     indexing mode WINS in-loop (14.04 vs 14.51 ms/step — the two XLA value
     sorts become two 32-pass bit-scans in one VMEM residency), thresholding
     TIES (14.02 vs 14.06) — so auto-on is indexing-only. Auto-on also
-    requires TPU + a SINGLE visible device: pallas_call has no GSPMD
-    partitioning rule, so under a sharded mesh XLA would replicate the call
-    (same reasoning as ops/degrade.py:_use_pallas_kmask).
+    requires TPU, and on multi-device runs a `mesh` from the caller:
+    pallas_call has no GSPMD partitioning rule, so without shard_map a
+    sharded mesh would replicate the call (same reasoning as
+    ops/degrade.py:_use_pallas_kmask); with a mesh the body routes through
+    fused_degrade_update_sharded over the 'data' axis.
     """
     import os
 
@@ -96,7 +98,7 @@ def _use_fused_degrade(cfg, dependency, rule, capture_trajectory) -> bool:
     return (
         cfg.select_degrade_pixel == "indexing"
         and jax.default_backend() == "tpu"
-        and jax.device_count() == 1
+        and (jax.device_count() == 1 or mesh is not None)
     )
 
 
@@ -109,6 +111,7 @@ def make_sample_fn(
     capture_items: int = 0,
     compute_dtype=None,
     activation_sharding=None,
+    mesh=None,
 ) -> Callable:
     """Build sample(params, latent, key) -> sample_0 [, trajectory dict].
 
@@ -120,6 +123,12 @@ def make_sample_fn(
     `activation_sharding` (a NamedSharding, parallel/sp.py) pins the carried
     sample's layout each step — spatial partitioning shards H over the
     'model' axis and the constraint keeps the whole scan in that layout.
+
+    `mesh` (the jax Mesh the batch is sharded over, 'data' axis) keeps the
+    pallas degrade kernels eligible on multi-chip DP runs: they are
+    shard_mapped per shard instead of replicated by GSPMD. Ignored under
+    spatial partitioning (activations are H-sharded, the kernels need whole
+    images per shard).
     """
     used = np.asarray(used_timesteps, dtype=np.int32)
     n_steps = int(len(used))
@@ -147,22 +156,30 @@ def make_sample_fn(
 
     validate_sampling_modes(cfg)
 
+    # SP shards activations along H; the pallas degrade kernels operate on
+    # whole images per shard, so the mesh routing is DP-only
+    pallas_mesh = mesh if activation_sharding is None else None
+
     degrade_independent = partial(
         degrade_ops.degrade_independent_base_sampling,
         select_degrade_pixel=cfg.select_degrade_pixel,
         degrade_channel=cfg.degrade_channel,
         mean_option=cfg.mean_option,
         mean_area=cfg.mean_area,
+        mesh=pallas_mesh,
     )
 
     # fused pallas degrade+update (ops/pallas/fused_degrade.py): one kernel
     # pass replaces both degrade calls and the update rule; see
     # _use_fused_degrade for the mode coverage + gating
-    use_fused = _use_fused_degrade(cfg, dependency, rule, capture_trajectory)
+    use_fused = _use_fused_degrade(
+        cfg, dependency, rule, capture_trajectory, pallas_mesh
+    )
     if use_fused:
         from masked_diffusion_tpu.config import parse_mean_option
         from masked_diffusion_tpu.ops.pallas.fused_degrade import (
             fused_degrade_update,
+            fused_degrade_update_sharded,
         )
 
         fused_mean_mode, fused_mean_value = parse_mean_option(cfg.mean_option)
@@ -236,12 +253,28 @@ def make_sample_fn(
             amount_t = schedule.degrade_amount(tvec)
             amount_next = schedule.degrade_amount(next_tvec)
 
-            if use_fused:
-                new_sample_t, mask_next = fused_degrade_update(
-                    k_deg_t, sample_t, sample_0, amount_t, amount_next,
+            # batch is static at trace time: a batch that doesn't divide over
+            # the mesh's data axis falls back to the XLA path below
+            fused_ok = use_fused and (
+                pallas_mesh is None
+                or pallas_mesh.shape["data"] <= 1
+                or b % pallas_mesh.shape["data"] == 0
+            )
+            if fused_ok:
+                fused_kw = dict(
                     select=cfg.select_degrade_pixel, mean_mode=fused_mean_mode,
                     mean_value=float(fused_mean_value or 0.0), rule=rule,
                 )
+                if pallas_mesh is not None and pallas_mesh.shape["data"] > 1:
+                    new_sample_t, mask_next = fused_degrade_update_sharded(
+                        k_deg_t, sample_t, sample_0, amount_t, amount_next,
+                        mesh=pallas_mesh, **fused_kw,
+                    )
+                else:
+                    new_sample_t, mask_next = fused_degrade_update(
+                        k_deg_t, sample_t, sample_0, amount_t, amount_next,
+                        **fused_kw,
+                    )
                 # the reference guards the state update with `if i > 0`
                 new_sample_t = jnp.where(is_last, sample_t, new_sample_t)
                 c = (new_sample_t, sample_0, mask_next, momentum, key)

@@ -156,6 +156,7 @@ class Tester:
         self._sample_fn = make_sample_fn(
             self.model, self.schedule, cfg, self.timesteps_used_epoch,
             activation_sharding=act_sharding,
+            mesh=mesh_plan.mesh if mesh_plan is not None else None,
         )
 
     def _sample_batch(self, key) -> np.ndarray:

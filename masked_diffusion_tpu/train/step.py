@@ -75,6 +75,7 @@ def make_train_step(
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
     activation_sharding=None,
+    mesh=None,
 ) -> Callable:
     """Build the jitted train step for one curriculum section.
 
@@ -86,6 +87,10 @@ def make_train_step(
     `activation_sharding` (a NamedSharding, parallel/sp.py) pins the UNet
     input's layout with a with_sharding_constraint — spatial partitioning
     relies on it so XLA's propagation cannot all-gather H and run replicated.
+
+    `mesh` (the jax Mesh the batch is sharded over) keeps the pallas kmask
+    kernel eligible for multi-chip DP training at 128²+ (shard_mapped per
+    shard — ops/degrade.py:generate_masks). DP-only: ignored under SP.
     """
     used_dev = jnp.asarray(used_timesteps, dtype=jnp.int32)
     n_used = int(len(used_timesteps))
@@ -113,6 +118,7 @@ def make_train_step(
             k_mask, img, amount,
             cfg.select_degrade_pixel, cfg.degrade_channel,
             cfg.mean_option, cfg.mean_area,
+            mesh=mesh if activation_sharding is None else None,
         )
 
         # --- mean shift (trainer_masked_mean_shift.py:119-120)

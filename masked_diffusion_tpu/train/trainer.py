@@ -215,6 +215,7 @@ class Trainer:
                 activation_sharding=(
                     self._batch_sharding() if self.cfg.mesh_spatial else None
                 ),
+                mesh=self.mesh_plan.mesh if self.mesh_plan is not None else None,
             )
         return self._step_cache[key]
 
@@ -232,6 +233,7 @@ class Trainer:
                 activation_sharding=(
                     self._batch_sharding() if self.cfg.mesh_spatial else None
                 ),
+                mesh=self.mesh_plan.mesh if self.mesh_plan is not None else None,
             )
         return self._sample_cache[key]
 

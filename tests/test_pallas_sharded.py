@@ -1,0 +1,148 @@
+"""shard_map wrappers for the pallas degrade kernels (multi-chip DP story).
+
+pallas_call has no GSPMD partitioning rule, so the fused degrade+update and
+exact-k mask kernels are shard_mapped over the mesh's 'data' axis
+(ops/pallas/fused_degrade.py:fused_degrade_update_sharded,
+ops/pallas/kmask.py:exact_count_masks_pallas_sharded). The TPU interpreter
+stubs the on-chip PRNG but is DETERMINISTIC, so on the CPU mesh the sharded
+call must equal the concatenation of per-shard single-device calls with the
+shard index folded into the key — which pins exactly the wrapper's plumbing:
+batch slicing, per-shard row padding, key folding, output reassembly.
+Real-PRNG behavior is exercised on hardware by benchmarks/check_pallas_tpu.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.ops.pallas.fused_degrade import (
+    fused_degrade_update,
+    fused_degrade_update_sharded,
+)
+from masked_diffusion_tpu.ops.pallas.kmask import (
+    exact_count_masks_pallas,
+    exact_count_masks_pallas_sharded,
+)
+from masked_diffusion_tpu.parallel.mesh import make_mesh
+
+B, H, W = 16, 8, 8
+
+
+def _mesh(data):
+    return make_mesh(data=data, model=1).mesh
+
+
+def _per_shard_reference(fn, key, n_shards, *sharded_args):
+    """Concatenate fn over manual shards with fold_in(key, shard_index)."""
+    outs = []
+    for i in range(n_shards):
+        lo, hi = i * B // n_shards, (i + 1) * B // n_shards
+        k = jax.random.fold_in(key, i)
+        outs.append(fn(k, *(a[lo:hi] for a in sharded_args)))
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+    return jnp.concatenate(outs, axis=0)
+
+
+class TestFusedSharded:
+    @pytest.mark.parametrize("select", ["thresholding", "indexing"])
+    @pytest.mark.parametrize("n_shards", [2, 8])
+    def test_matches_per_shard_calls(self, select, n_shards):
+        mesh = _mesh(n_shards)
+        rng = np.random.default_rng(3)
+        xt = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+        x0 = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+        if select == "indexing":
+            amt = jnp.asarray(rng.integers(0, H * W, B), jnp.float32)
+            amn = jnp.asarray(rng.integers(0, H * W, B), jnp.float32)
+        else:
+            amt = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+            amn = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+        key = jax.random.PRNGKey(11)
+        kw = dict(select=select, mean_mode="const", mean_value=0.5,
+                  rule="base_momentum", interpret=True)
+
+        got = fused_degrade_update_sharded(
+            key, xt, x0, amt, amn, mesh=mesh, **kw
+        )
+        want = _per_shard_reference(
+            lambda k, a, b_, c, d: fused_degrade_update(k, a, b_, c, d, **kw),
+            key, n_shards, xt, x0, amt, amn,
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_sub_group_local_batches_pad_per_shard(self):
+        """8 shards x 2 local rows: each shard row-pads 2 -> 8 independently;
+        outputs must come back unpadded and in order."""
+        mesh = _mesh(8)
+        rng = np.random.default_rng(5)
+        xt = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+        x0 = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+        amt = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+        amn = jnp.asarray(rng.uniform(0, 1, B), jnp.float32)
+        out, mask = fused_degrade_update_sharded(
+            jax.random.PRNGKey(0), xt, x0, amt, amn, mesh=mesh,
+            select="thresholding", mean_mode="degraded_area",
+            rule="base_sampling", interpret=True,
+        )
+        assert out.shape == (B, H, W, 1)
+        assert mask.shape == (B, H, W, 1)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestKmaskSharded:
+    @pytest.mark.parametrize("n_shards", [2, 8])
+    def test_matches_per_shard_calls(self, n_shards):
+        mesh = _mesh(n_shards)
+        rng = np.random.default_rng(9)
+        counts = jnp.asarray(rng.integers(0, H * W + 1, B), jnp.int32)
+        key = jax.random.PRNGKey(4)
+        got = exact_count_masks_pallas_sharded(
+            key, B, H, W, counts, mesh=mesh, interpret=True
+        )
+        want = _per_shard_reference(
+            lambda k, c: exact_count_masks_pallas(
+                k, B // n_shards, H, W, c, True
+            ),
+            key, n_shards, counts,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert got.shape == (B, H, W, 1)
+
+    def test_indivisible_batch_raises(self):
+        mesh = _mesh(8)
+        with pytest.raises(ValueError, match="not divisible"):
+            exact_count_masks_pallas_sharded(
+                jax.random.PRNGKey(0), 12, H, W,
+                jnp.zeros(12, jnp.int32), mesh=mesh, interpret=True,
+            )
+
+
+class TestGenerateMasksMeshGate:
+    """_use_pallas_kmask routing under a mesh (ops/degrade.py)."""
+
+    def test_multi_device_without_mesh_stays_off(self, monkeypatch):
+        from masked_diffusion_tpu.ops import degrade as degrade_ops
+
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "")
+        assert not degrade_ops._use_pallas_kmask(128 * 128, 16, None)
+
+    def test_mesh_with_indivisible_batch_stays_off(self, monkeypatch):
+        from masked_diffusion_tpu.ops import degrade as degrade_ops
+
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
+        mesh = _mesh(8)
+        assert not degrade_ops._use_pallas_kmask(128 * 128, 12, mesh)
+
+    def test_mesh_divisible_routes_on_forced(self, monkeypatch):
+        """On CPU the backend gate keeps it off even when forced + mesh-ok;
+        the routing itself is pinned by the interpret-mode equality tests
+        above. Here: the gate must not raise and must respect the backend."""
+        from masked_diffusion_tpu.ops import degrade as degrade_ops
+
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
+        mesh = _mesh(8)
+        on = degrade_ops._use_pallas_kmask(128 * 128, 16, mesh)
+        assert on == (jax.default_backend() == "tpu")

@@ -145,6 +145,9 @@ def bench_attention_scan():
             # blocks, models/unet.py AttentionBlock.chunk_q) — the contender
             # against flash where the full scores don't fit
             ("chunk512", dict(chunk_q=512)),
+            # tinyhead: head-major flash for the family's 8-wide heads
+            # (ops/pallas/tinyhead_attention.py): VMEM scores, no lane pad
+            ("tinyhead", dict(tiny_flash=True)),
         ]
         for arm, kw in arms:
             blk = AttentionBlock(dtype=jnp.bfloat16, **kw)

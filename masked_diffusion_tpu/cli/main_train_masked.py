@@ -156,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
         "materialized-scores einsum, the measured-faster path at S <= 1024)",
     )
     p.add_argument(
+        "--tinyhead_attention", type=str2bool, default=False,
+        help="head-major Pallas flash attention for the family's 8-wide "
+        "heads: VMEM-resident scores, zero lane padding; exact, falls back "
+        "to the einsum at S < 128 (ops/pallas/tinyhead_attention.py)",
+    )
+    p.add_argument(
         "--encoder_reuse", type=int, default=0,
         help="sampling-only: run the UNet encoder every K-th reverse step "
         "and replay its cached activations between (Faster Diffusion, "

@@ -139,6 +139,11 @@ class Config:
     # pure-XLA escape hatch for placements whose full (S, S) scores don't fit
     # HBM (S=4096 needs 8.6 GB f32); None/0 = materialized-scores einsum
     attention_chunk: Optional[int] = None
+    # head-major tiny-head flash attention (UNetConfig.tinyhead_attention,
+    # ops/pallas/tinyhead_attention.py): VMEM-resident scores + zero lane
+    # padding for the family's 8-wide heads; exact, falls back to the einsum
+    # at S < 128. Opt-in pending the TPU in-loop measurement.
+    tinyhead_attention: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # checkpoint retention: keep only the N newest checkpoint-epoch-* dirs
     # (0 = keep all, the reference behavior — its cadence saves accumulate

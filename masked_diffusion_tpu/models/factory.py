@@ -57,6 +57,7 @@ def build_unet(
     param_dtype=jnp.float32,
     remat: bool = False,
     attention_chunk: Optional[int] = None,
+    tinyhead_attention: Optional[bool] = None,
 ) -> UNet2D:
     """Equivalent of utils/model.MyModel (utils/model.py:3-33)."""
     channels = tuple(block_out_channels or DEFAULT_BLOCK_OUT_CHANNELS)
@@ -71,5 +72,6 @@ def build_unet(
         attn_up=attn_up,
         remat=remat,
         attention_chunk=attention_chunk or None,
+        tinyhead_attention=tinyhead_attention or None,
     )
     return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

@@ -172,6 +172,12 @@ class AttentionBlock(nn.Module):
     norm_eps: float = 1e-5
     pallas_norm: bool = False
     flash: bool = False
+    # tiny_flash: head-major Pallas flash kernel for this family's 8-wide
+    # heads (ops/pallas/tinyhead_attention.py) — scores stay in VMEM (the
+    # einsum round-trips the (B,heads,S,S) matrix through HBM) with ZERO
+    # lane padding (stock flash pads head_dim 8->128). Falls back to the
+    # einsum where unsupported (S < 128 or head_dim > 8).
+    tiny_flash: bool = False
     # chunk_q > 0: lax.map over query blocks of that size — exact attention
     # with the score tensor bounded to (B, heads, chunk_q, S) instead of the
     # full (B, heads, S, S); the pure-XLA alternative to `flash` for large S
@@ -208,7 +214,20 @@ class AttentionBlock(nn.Module):
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = 1.0 / math.sqrt(dim_head)
-        if self.flash:
+        use_tiny = False
+        if self.tiny_flash:
+            from masked_diffusion_tpu.ops.pallas.tinyhead_attention import (
+                tinyhead_attention,
+                tinyhead_supported,
+            )
+
+            use_tiny = tinyhead_supported(h * w, dim_head)
+        if use_tiny:
+            out = tinyhead_attention(
+                q, k, v, scale,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif self.flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,
             )
@@ -313,6 +332,12 @@ class UNetConfig:
     # route to S=4096+ where materialized scores don't fit and flash pads the
     # 8-wide heads 16x on the lane axis; None resolves to off.
     attention_chunk: Optional[int] = None
+    # head-major tiny-head flash kernel (AttentionBlock.tiny_flash,
+    # ops/pallas/tinyhead_attention.py): exact attention with scores
+    # VMEM-resident and zero lane padding for the family's 8-wide heads.
+    # Opt-in pending the TPU measurement (project rule: auto-on needs an
+    # in-loop win on hardware); None resolves to off.
+    tinyhead_attention: Optional[bool] = None
 
     def __post_init__(self):
         n = len(self.block_out_channels)
@@ -381,7 +406,9 @@ class UNet2D(nn.Module):
         )
         attn_kw = dict(
             head_dim=cfg.attention_head_dim, flash=flash,
-            chunk_q=cfg.attention_chunk, **block_kw,
+            chunk_q=cfg.attention_chunk,
+            tiny_flash=bool(cfg.tinyhead_attention or False),
+            **block_kw,
         )
         res_kw = dict(dropout=cfg.dropout, **block_kw)
         # rematerialization via flax's LIFTED transform: jax.checkpoint around

@@ -127,6 +127,7 @@ def Model(
     num_attention: int = 1,
     remat: bool = False,
     attention_chunk: Optional[int] = None,
+    tinyhead_attention: Optional[bool] = None,
 ) -> UNet2D:
     """Zoo dispatch with the reference signature (models_Unet.py:17)."""
     if data_height != data_width:
@@ -138,11 +139,13 @@ def Model(
             dim_width=data_width, num_attention=num_attention,
             dtype=dtype, param_dtype=param_dtype, remat=remat,
             attention_chunk=attention_chunk,
+            tinyhead_attention=tinyhead_attention,
         )
     import dataclasses
 
     cfg = dataclasses.replace(
         _zoo_config(name, data_channel, data_height, out_channel),
         remat=remat, attention_chunk=attention_chunk or None,
+        tinyhead_attention=tinyhead_attention or None,
     )
     return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

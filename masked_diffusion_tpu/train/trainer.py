@@ -58,6 +58,7 @@ def build_model_from_config(cfg: Config):
             cfg.model, cfg.in_channel, cfg.data_size, cfg.data_size,
             cfg.out_channel, dtype=compute_dtype,
             remat=cfg.remat, attention_chunk=cfg.attention_chunk,
+            tinyhead_attention=cfg.tinyhead_attention,
         )
     return build_unet(
         dim_channel=cfg.in_channel,
@@ -69,6 +70,7 @@ def build_model_from_config(cfg: Config):
         dtype=compute_dtype,
         remat=cfg.remat,
         attention_chunk=cfg.attention_chunk,
+        tinyhead_attention=cfg.tinyhead_attention,
     )
 
 

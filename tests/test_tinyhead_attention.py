@@ -1,0 +1,135 @@
+"""Tiny-head flash attention (ops/pallas/tinyhead_attention.py).
+
+The kernel is exact (no online-softmax approximation): interpret mode on CPU
+must match the einsum formulation (models/unet.py:244-248) to bf16-matmul
+tolerance — both paths do bf16 matmuls with fp32 accumulation and an fp32
+softmax, so agreement is tight. Padding paths (S % 128, S % q_block, D < 8)
+are pinned explicitly; the custom VJP must differentiate like the einsum.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masked_diffusion_tpu.ops.pallas.tinyhead_attention import (
+    tinyhead_attention,
+    tinyhead_supported,
+)
+
+
+def _einsum_attention(q, k, v, scale):
+    a = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
+    a = jax.nn.softmax(a * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", a, v)
+
+
+def _qkv(b, h, s, d, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(b, h, s, d)), dtype)
+    return mk(), mk(), mk()
+
+
+class TestKernel:
+    @pytest.mark.parametrize(
+        "b,h,s,d",
+        [
+            (2, 4, 128, 8),    # minimal lane-exact case
+            (1, 8, 256, 8),    # zoo 128^2 placement shape (S=16^2... scaled)
+            (2, 2, 384, 8),    # S % q_block(256) != 0 -> padded query rows
+            (1, 2, 200, 8),    # S % 128 != 0 -> masked padded keys
+            (1, 2, 128, 4),    # D < 8 -> zero-padded head rows
+        ],
+    )
+    def test_matches_einsum(self, b, h, s, d):
+        q, k, v = _qkv(b, h, s, d)
+        scale = 1.0 / math.sqrt(d)
+        got = tinyhead_attention(q, k, v, scale, 256, True)
+        want = _einsum_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), scale,
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+        )
+        assert got.shape == (b, h, s, d)
+        assert got.dtype == q.dtype
+
+    def test_bf16_inputs_keep_dtype(self):
+        q, k, v = _qkv(1, 2, 128, 8, dtype=jnp.bfloat16)
+        out = tinyhead_attention(q, k, v, 0.35355, 256, True)
+        assert out.dtype == jnp.bfloat16
+        want = _einsum_attention(q, k, v, 0.35355)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(want, np.float32),
+            atol=3e-2, rtol=3e-2,
+        )
+
+    def test_unsupported_shapes_raise(self):
+        q, k, v = _qkv(1, 2, 64, 8)
+        assert not tinyhead_supported(64, 8)
+        assert not tinyhead_supported(256, 16)
+        with pytest.raises(ValueError, match="tinyhead"):
+            tinyhead_attention(q, k, v, 1.0, 256, True)
+
+    def test_grad_matches_einsum(self):
+        """The custom VJP recomputes with the einsum formulation — grads must
+        equal differentiating the einsum directly."""
+        q, k, v = _qkv(1, 2, 128, 8, seed=3)
+        scale = 1.0 / math.sqrt(8)
+
+        def loss_kernel(q_, k_, v_):
+            return jnp.sum(tinyhead_attention(q_, k_, v_, scale, 256, True) ** 2)
+
+        def loss_einsum(q_, k_, v_):
+            return jnp.sum(_einsum_attention(q_, k_, v_, scale) ** 2)
+
+        g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_e = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_k, g_e):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2
+            )
+
+
+class TestModuleRouting:
+    def test_attention_block_tiny_flash_matches_einsum(self):
+        """UNet AttentionBlock with tiny_flash routes through the kernel
+        (interpret on CPU) and matches the einsum block bitwise-close; at
+        S < 128 it silently falls back (same params, same output)."""
+        from masked_diffusion_tpu.models.unet import AttentionBlock
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)  # S=256
+        blk = AttentionBlock(head_dim=8, norm_groups=8)
+        blk_tiny = AttentionBlock(head_dim=8, norm_groups=8, tiny_flash=True)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        out = blk.apply(params, x)
+        out_tiny = blk_tiny.apply(params, x)
+        # an fp32 module's einsum does fp32 matmuls; the kernel always runs
+        # its matmuls in bf16 (the production dtype) — bf16-rounding tolerance
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_tiny), atol=3e-2, rtol=3e-2
+        )
+
+        x_small = jnp.asarray(rng.normal(size=(2, 8, 8, 32)), jnp.float32)
+        p2 = blk.init(jax.random.PRNGKey(1), x_small)
+        np.testing.assert_array_equal(  # fallback is the einsum path itself
+            np.asarray(blk.apply(p2, x_small)),
+            np.asarray(blk_tiny.apply(p2, x_small)),
+        )
+
+    def test_unet_config_plumbs_flag(self):
+        from masked_diffusion_tpu.models import build_unet
+
+        m = build_unet(dim_channel=3, dim_height=32, dim_width=32,
+                       num_attention=1, block_out_channels=(8, 16),
+                       tinyhead_attention=True)
+        assert m.config.tinyhead_attention
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+        y = m.apply(params, x, jnp.zeros((1,), jnp.int32))
+        assert y.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(y)))

@@ -70,6 +70,28 @@ class _Emitter:
 
         signal.signal(signal.SIGTERM, _on_term)
 
+    def install_watchdog(self, deadline_s: float) -> None:
+        """Salvage even when the main thread is wedged in native code.
+
+        A Python SIGTERM handler only runs between bytecodes — a main thread
+        blocked inside the PJRT client's init (the dead-tunnel failure mode,
+        observed: jax.devices() uninterruptible for minutes) never executes
+        it, and `timeout` without -k then waits forever. A daemon THREAD
+        still gets scheduled (the native waits release the GIL): at the
+        self-budget it prints the best-known snapshot and force-exits 0.
+        """
+        import threading
+
+        def _watch():
+            time.sleep(max(deadline_s, 1.0))
+            if self.snapshot is not None:
+                snap = dict(self.snapshot)
+                snap.setdefault("extra", {})["watchdog_expired"] = True
+                print(json.dumps(snap), flush=True)
+            os._exit(0)
+
+        threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
+
 
 def _wait_for_tpu(max_wait_s: float) -> None:
     """Bounded wait for the TPU backend to come up.
@@ -98,9 +120,9 @@ def _wait_for_tpu(max_wait_s: float) -> None:
             ok = False
         if ok:
             time.sleep(5)  # let the probe's HBM reservation fully release
-            return
+            return True
         if time.monotonic() >= deadline:
-            return
+            return False
         print(
             f"bench: TPU backend not reachable, retrying "
             f"({int(deadline - time.monotonic())}s left)...",
@@ -112,6 +134,9 @@ def _wait_for_tpu(max_wait_s: float) -> None:
 def main() -> int:
     emitter = _Emitter()
     emitter.install_sigterm()
+    # +30s grace over the section self-budget: a healthy run has emitted its
+    # final record by then; a tunnel-wedged one gets force-salvaged (exit 0)
+    emitter.install_watchdog(DEADLINE_S - (time.monotonic() - START) + 30)
 
     # ------------------------------------------------- CPU baseline (no jax)
     vs_baseline_ips = None
@@ -141,11 +166,18 @@ def main() -> int:
     emitter.emit(result)
 
     wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", 120))
+    probe_ok = None
     if wait_s > 0 and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
         try:
-            _wait_for_tpu(min(wait_s, max(_remaining() - 120, 0)))
+            probe_ok = _wait_for_tpu(min(wait_s, max(_remaining() - 120, 0)))
         except Exception:
-            pass  # probe trouble must never block the bench itself
+            probe_ok = None  # probe trouble must never block the bench itself
+        # proceed either way (the tunnel may recover mid-run; a hang in the
+        # in-process init is salvaged by the SIGTERM re-emit) but record the
+        # probe verdict so an unreachable-tunnel round is diagnosable from
+        # the JSON alone
+        result["extra"]["tpu_probe_ok"] = probe_ok
+        emitter.emit(result)
 
     import jax
     import jax.numpy as jnp
@@ -222,6 +254,7 @@ def main() -> int:
         "skipped": [],
         "stage": "setup",
         "deadline_s": DEADLINE_S,
+        "tpu_probe_ok": probe_ok,
         **baseline_info,
     }
     result["metric"] = (

@@ -211,6 +211,55 @@ def bench_flash_attention():
         }), flush=True)
 
 
+def bench_groupnorm_scan():
+    """Fused multi-image GroupNorm+SiLU kernel vs the XLA two-pass reference
+    at the flagship forward's hottest norm shapes (one lax.scan of 100
+    applications per arm — single compiled program, no dispatch ambiguity).
+    Round 3's per-image version lost ~2x; round 4 batches up to 8 images per
+    grid cell (_images_per_block). Paste into docs/PERFORMANCE.md."""
+    from masked_diffusion_tpu.ops.pallas.groupnorm import (
+        _gn_reference,
+        group_norm_silu,
+    )
+
+    shapes = [
+        (64, 64, 128),   # level-0 resblock norms: the traffic monster
+        (64, 32, 256),   # level 2
+        (64, 16, 512),   # level 4 (attention level)
+        (8, 128, 128),   # 128**2 smoke shape
+    ]
+    for b, s, c in shapes:
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, s, s, c)), jnp.bfloat16
+        )
+        scale = jnp.ones((c,), jnp.float32)
+        bias = jnp.zeros((c,), jnp.float32)
+        res = {}
+        for arm, fn in (
+            ("xla", lambda h: _gn_reference(h, scale, bias, 32, 1e-5, True)),
+            ("fused", lambda h: group_norm_silu(h, scale, bias, 32, 1e-5, True)),
+        ):
+            try:
+                @jax.jit
+                def run(xx, fn=fn):
+                    def body(h, _):
+                        return fn(h).astype(jnp.bfloat16), None
+
+                    out, _ = jax.lax.scan(body, xx, None, length=100)
+                    return out
+
+                float(jnp.sum(run(x)))  # compile + sync
+                t0 = time.perf_counter()
+                float(jnp.sum(run(x)))
+                res[f"{arm}_ms"] = round((time.perf_counter() - t0) / 100 * 1e3, 3)
+            except Exception as e:
+                res[f"{arm}_ms"] = f"FAIL: {type(e).__name__}: {str(e)[:100]}"
+        print(json.dumps({
+            "bench": "groupnorm_scan", "batch": b, "hw": s * s, "channels": c,
+            **res,
+        }), flush=True)
+
+
 def bench_encoder_reuse(size=64, batch=64, steps=200):
     """--encoder_reuse throughput + drift at the headline sampling config:
     ms/step for K in {exact, 2, 3} plus mean|exact - K| over the final
@@ -269,6 +318,8 @@ def main():
     which = os.environ.get("CHECK", "all")
     if which == "reuse":
         bench_encoder_reuse()
+    if which == "gn":
+        bench_groupnorm_scan()
     if which in ("all", "standalone"):
         bench_fused_standalone(select="thresholding")
         bench_fused_standalone(select="indexing")

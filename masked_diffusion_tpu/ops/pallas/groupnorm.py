@@ -4,10 +4,13 @@ The flagship UNet forward is HBM-bandwidth bound (XLA cost analysis: 1.9
 TFLOP vs 9.7 GB accessed per forward at batch 64/64x64 — the roofline is the
 byte count). XLA lowers GroupNorm as two passes over the tensor (reduce for
 stats, then normalize+activate), i.e. 2 reads + 1 write. This kernel does
-1 read + 1 write: one image's (HW, C) block is staged in VMEM, group stats
-are computed on-chip (channel sums via an MXU matmul against a (C, G)
-one-hot group matrix — lane-dim reductions are the VPU's weak axis), and the
-normalize + affine + SiLU epilogue writes straight back out.
+1 read + 1 write: a block of up to 8 images ((NB, HW, C), `_images_per_block`)
+is staged in VMEM, per-image group stats are computed on-chip (channel sums
+via one MXU matmul against a (C, G) one-hot group matrix — lane-dim
+reductions are the VPU's weak axis), and the normalize + affine + SiLU
+epilogue writes straight back out. Round 3's version ran ONE image per grid
+cell and lost to XLA 26.8 vs 14.0 ms/step (per-cell fixed costs serialized
+against tiny blocks); the multi-image block is the round-4 retry.
 
 Gradients: jax.custom_vjp with a pure-jnp backward that recomputes stats —
 training takes the standard XLA path cost in the backward while the forward
@@ -52,50 +55,65 @@ def _group_onehot(channels: int, groups: int) -> np.ndarray:
 def _gn_silu_kernel(
     x_ref, scale_ref, bias_ref, onehot_ref, onehot_t_ref, o_ref, *, eps, silu, hw, cg
 ):
-    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    x = x_ref[:].astype(jnp.float32)  # (NB, HW, C): NB images per grid cell
     onehot = onehot_ref[:]  # (C, G)
     onehot_t = onehot_t_ref[:]  # (G, C)
     n = jnp.float32(hw * cg)
 
-    # per-group sums via MXU; keep operands 2-D (Mosaic dots need rank 2)
-    col_sum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
-    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)
-    g_sum = jnp.dot(col_sum, onehot, preferred_element_type=jnp.float32)  # (1, G)
+    # per-image per-group sums: a sublane reduction to (NB, C), then one MXU
+    # matmul folds channels into groups for the whole image block at once
+    # (rank-2 operands — Mosaic dots need rank 2; the round-3 per-image grid
+    # did this one image per cell and SERIALIZED, 26.8 vs 14.0 ms/step)
+    col_sum = jnp.sum(x, axis=1)  # (NB, C)
+    col_sumsq = jnp.sum(x * x, axis=1)
+    g_sum = jnp.dot(col_sum, onehot, preferred_element_type=jnp.float32)  # (NB, G)
     g_sumsq = jnp.dot(col_sumsq, onehot, preferred_element_type=jnp.float32)
 
     mean_g = g_sum / n
     var_g = g_sumsq / n - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
 
-    # broadcast group stats back to channels: (1, G) @ (G, C) -> (1, C)
+    # broadcast group stats back to channels: (NB, G) @ (G, C) -> (NB, C)
     mean_c = jnp.dot(mean_g, onehot_t, preferred_element_type=jnp.float32)
     rstd_c = jnp.dot(rstd_g, onehot_t, preferred_element_type=jnp.float32)
 
-    y = (x - mean_c) * rstd_c
+    y = (x - mean_c[:, None, :]) * rstd_c[:, None, :]
     y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _images_per_block(b: int, hw: int, c: int) -> int:
+    """Largest divisor of b (capped at 8) whose fp32 staging fits the VMEM
+    budget. More images per grid cell amortizes the per-cell fixed cost that
+    sank the round-3 per-image version."""
+    nb = 1
+    for cand in (2, 4, 8):
+        if b % cand == 0 and cand * hw * c * 4 <= _VMEM_BLOCK_BYTES:
+            nb = cand
+    return nb
 
 
 def _gn_silu_fwd_impl(x, scale, bias, groups: int, eps: float, silu: bool, interpret: bool):
     b, h, w, c = x.shape
     hw = h * w
+    nb = _images_per_block(b, hw, c)
     onehot = jnp.asarray(_group_onehot(c, groups))
     x3 = x.reshape(b, hw, c)
     out = pl.pallas_call(
         functools.partial(
             _gn_silu_kernel, eps=eps, silu=silu, hw=hw, cg=c // groups
         ),
-        grid=(b,),
+        grid=(b // nb,),
         in_specs=[
-            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((groups, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((nb, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x3, scale.reshape(1, c), bias.reshape(1, c), onehot, onehot.T)

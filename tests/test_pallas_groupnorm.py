@@ -70,6 +70,35 @@ def test_bf16_roundtrip(data):
     )
 
 
+@pytest.mark.parametrize("batch,expect_nb", [(16, 8), (6, 2), (5, 1), (8, 8)])
+def test_multi_image_blocks_match_reference(batch, expect_nb):
+    """Round-4 multi-image grid cells (_images_per_block): per-image stats
+    must be independent — image i's output equals the single-image call."""
+    from masked_diffusion_tpu.ops.pallas.groupnorm import _images_per_block
+
+    rng = np.random.default_rng(batch)
+    x = jnp.asarray(rng.normal(0.1, 1.3, size=(batch, 4, 4, 256)), jnp.float32)
+    scale = jnp.asarray(rng.normal(1.0, 0.1, size=(256,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0.0, 0.1, size=(256,)), jnp.float32)
+    assert _images_per_block(batch, 16, 256) == expect_nb
+    out = group_norm_silu(x, scale, bias, 32, 1e-5, True, True)
+    ref = _gn_reference(x, scale, bias, groups=32, eps=1e-5, silu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # image independence: one image alone == that image inside the block
+    one = group_norm_silu(x[:1], scale, bias, 32, 1e-5, True, True)
+    np.testing.assert_allclose(
+        np.asarray(one[0]), np.asarray(out[0]), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_images_per_block_respects_vmem():
+    from masked_diffusion_tpu.ops.pallas.groupnorm import _images_per_block
+
+    assert _images_per_block(64, 64 * 64, 128) == 4  # 8 imgs = 16 MB > budget
+    assert _images_per_block(64, 128 * 128, 128) == 1
+    assert _images_per_block(64, 16 * 16, 512) == 8
+
+
 def test_eligibility_gating():
     assert not pallas_norm_supported(8, 8, 256, 32)  # cpu backend in tests
     assert fits_vmem(64 * 64, 128)

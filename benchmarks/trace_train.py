@@ -40,6 +40,10 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("PROF_FORCE_CPU"):  # plumbing test: tiny shapes, CPU
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,15 +76,18 @@ def device_op_durations(xspace) -> dict[str, float]:
     totals: dict[str, float] = defaultdict(float)
     for plane in xspace.planes:
         name = plane.name
-        is_device = name.startswith("/device:") or "XLA Op" in name
-        if not is_device:
+        is_device = name.startswith("/device:")
+        is_cpu_xla = name == "/host:CPU"  # CPU backend: XLA ops ride host lines
+        if not (is_device or is_cpu_xla):
             continue
         ev_meta = plane.event_metadata
         for line in plane.lines:
+            if is_cpu_xla and not line.name.startswith("tf_XLA"):
+                continue  # skip the python/runtime threads on the host plane
             for ev in line.events:
                 meta = ev_meta.get(ev.metadata_id)
-                if meta is None:
-                    continue
+                if meta is None or meta.name.startswith("ThunkExecutor"):
+                    continue  # executor wrappers, not ops (CPU backend)
                 totals[meta.name] += ev.duration_ps / 1e9  # ps -> ms
     return dict(totals)
 

@@ -93,7 +93,7 @@ class _Emitter:
         threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
 
 
-def _wait_for_tpu(max_wait_s: float) -> None:
+def _wait_for_tpu(max_wait_s: float) -> bool:
     """Bounded wait for the TPU backend to come up.
 
     The axon tunnel occasionally drops; a bench that silently falls back to
@@ -112,9 +112,15 @@ def _wait_for_tpu(max_wait_s: float) -> None:
     probe = "import jax; assert jax.devices()[0].platform == 'tpu'"
     deadline = time.monotonic() + max_wait_s
     while True:
+        # budget check BEFORE probing: a probe is itself up to 60s, so a
+        # near-zero budget must not burn a minute it was told it doesn't have
+        left = deadline - time.monotonic()
+        if left <= 0:
+            return False
         try:
             ok = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, timeout=60
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=max(min(60.0, left), 5.0),
             ).returncode == 0
         except subprocess.TimeoutExpired:  # wedged tunnel: same as down
             ok = False

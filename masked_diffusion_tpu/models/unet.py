@@ -216,17 +216,23 @@ class AttentionBlock(nn.Module):
         scale = 1.0 / math.sqrt(dim_head)
         use_tiny = False
         if self.tiny_flash:
+            import os
+
             from masked_diffusion_tpu.ops.pallas.tinyhead_attention import (
                 tinyhead_attention,
                 tinyhead_supported,
             )
 
-            use_tiny = tinyhead_supported(h * w, dim_head)
-        if use_tiny:
-            out = tinyhead_attention(
-                q, k, v, scale,
-                interpret=jax.default_backend() != "tpu",
+            # like every pallas kernel here, production routing is TPU-only
+            # (off-TPU falls back to the einsum, never to interpret-mode
+            # emulation in a hot path); MDT_TINYHEAD_INTERPRET=1 is the test
+            # hook that exercises the module routing on the CPU interpreter
+            interpret = os.environ.get("MDT_TINYHEAD_INTERPRET") == "1"
+            use_tiny = tinyhead_supported(h * w, dim_head) and (
+                jax.default_backend() == "tpu" or interpret
             )
+        if use_tiny:
+            out = tinyhead_attention(q, k, v, scale, interpret=interpret)
         elif self.flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,

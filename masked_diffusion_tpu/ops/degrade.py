@@ -165,10 +165,18 @@ def _use_pallas_kmask(hw: int, batch: int = 0, mesh=None) -> bool:
     env = os.environ.get("MDT_PALLAS_KMASK", "").lower()
     if env in ("0", "false"):
         return False
-    if jax.device_count() > 1 and not (
-        mesh is not None and batch % mesh.shape["data"] == 0
-    ):
-        if env not in ("1", "true") or mesh is not None:
+    if jax.device_count() > 1:
+        # only the shard_map route is safe inside a multi-device jit; that
+        # needs a mesh whose 'data' axis really shards the batch (data=1
+        # TP/SP meshes would trace the UNSHARDED pallas_call into the
+        # multi-device program — an untested lowering). Callers who wrap the
+        # kernel themselves can still force with MDT_PALLAS_KMASK=1 + no mesh.
+        sharded_ok = (
+            mesh is not None
+            and mesh.shape["data"] > 1
+            and batch % mesh.shape["data"] == 0
+        )
+        if not sharded_ok and (env not in ("1", "true") or mesh is not None):
             return False
     if env not in ("1", "true") and hw < _PALLAS_KMASK_MIN_HW:
         return False

@@ -295,37 +295,22 @@ def fused_degrade_update_sharded(
 ):
     """Data-parallel multi-chip form of fused_degrade_update.
 
-    pallas_call has no GSPMD partitioning rule: under a plain jit with the
-    batch sharded over 'data', XLA would all-gather the batch to every chip
-    and run the kernel replicated, negating the measured win. shard_map
-    instead runs one independent kernel per shard over its LOCAL rows; each
-    shard folds its axis index into the key so shards draw independent PRNG
-    streams (a shared seed would give image i on every shard the same mask —
-    correlated sampling across the batch). Per-shard local batches are
+    One kernel per 'data' shard over its LOCAL rows with an independent
+    per-shard PRNG stream — semantics and caveats live in the shared harness
+    (ops/pallas/shard.py:data_parallel_kernel). Per-shard local batches are
     row-padded to the sublane group independently, so any global batch
     divisible by the axis size works.
-
-    Not stream-equal to the single-chip call (the per-shard fold_in changes
-    seeds) — distribution-identical, deterministic per (key, mesh topology).
-    Mesh axes other than `axis` (e.g. 'model') are left unmentioned in the
-    specs: inputs are replicated across them and every replica computes
-    identical outputs (the kernel is deterministic given its seed).
     """
-    from jax.sharding import PartitionSpec as P
+    from masked_diffusion_tpu.ops.pallas.shard import data_parallel_kernel
 
-    def body(k, xt, x0, amt, amn):
-        k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+    def fn(k, xt, x0, amt, amn):
         return fused_degrade_update(
             k, xt, x0, amt, amn, select=select, mean_mode=mean_mode,
             mean_value=mean_value, rule=rule, interpret=interpret,
         )
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False,
-    )(key, sample_t, sample_0,
-      jnp.asarray(amount_t, jnp.float32).reshape(sample_t.shape[0]),
-      jnp.asarray(amount_next, jnp.float32).reshape(sample_t.shape[0]))
+    return data_parallel_kernel(fn, mesh=mesh, axis=axis)(
+        key, sample_t, sample_0,
+        jnp.asarray(amount_t, jnp.float32).reshape(sample_t.shape[0]),
+        jnp.asarray(amount_next, jnp.float32).reshape(sample_t.shape[0]),
+    )

@@ -84,13 +84,22 @@ def _gn_silu_kernel(
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+# multi-image working-set budget: the kernel's live VMEM per grid cell is
+# roughly in-block + fp32 staging of x + fp32 y + out-block ~= 12-16 B/elem
+# (vs 4 B/elem of fp32 input alone), so the multi-image cap must budget the
+# WORKING SET, not just the staging — nb*hw*c*4 <= 4 MB models ~12-16 MB of
+# live VMEM, the single-core budget. nb=1 keeps the round-3 gate (known to
+# compile at every admitted shape).
+_VMEM_MULTI_IMAGE_BYTES = 4 * 1024 * 1024
+
+
 def _images_per_block(b: int, hw: int, c: int) -> int:
-    """Largest divisor of b (capped at 8) whose fp32 staging fits the VMEM
-    budget. More images per grid cell amortizes the per-cell fixed cost that
-    sank the round-3 per-image version."""
+    """Largest divisor of b (capped at 8) whose WORKING SET fits VMEM.
+    More images per grid cell amortizes the per-cell fixed cost that sank
+    the round-3 per-image version (flagship 64²x128: nb=2; 16²x512: nb=8)."""
     nb = 1
     for cand in (2, 4, 8):
-        if b % cand == 0 and cand * hw * c * 4 <= _VMEM_BLOCK_BYTES:
+        if b % cand == 0 and cand * hw * c * 4 <= _VMEM_MULTI_IMAGE_BYTES:
             nb = cand
     return nb
 

@@ -132,25 +132,20 @@ def exact_count_masks_pallas_sharded(
 ):
     """Data-parallel multi-chip form of exact_count_masks_pallas.
 
-    Same rationale as fused_degrade.fused_degrade_update_sharded: pallas_call
-    has no GSPMD rule, so the kernel is shard_mapped over the batch axis with
-    one independent per-shard grid; each shard folds its axis index into the
-    key for an independent PRNG stream. `batch` is the GLOBAL batch and must
-    divide by the axis size (callers check — ops/degrade.py:generate_masks).
+    One per-shard grid over the LOCAL batch with an independent per-shard
+    PRNG stream — semantics and the batch-divisibility check live in the
+    shared harness (ops/pallas/shard.py:data_parallel_kernel). `batch` is
+    the GLOBAL batch.
     """
-    from jax.sharding import PartitionSpec as P
+    from masked_diffusion_tpu.ops.pallas.shard import data_parallel_kernel
 
     n = mesh.shape[axis]
-    if batch % n:
-        raise ValueError(f"batch {batch} not divisible by mesh axis {axis}={n}")
 
-    def body(k, c):
-        k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+    def fn(k, c):
         return exact_count_masks_pallas(
             k, batch // n, height, width, c, interpret
         )
 
-    return jax.shard_map(
-        body, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis),
-        check_vma=False,
-    )(key, jnp.asarray(counts, jnp.int32).reshape(batch))
+    return data_parallel_kernel(fn, mesh=mesh, axis=axis)(
+        key, jnp.asarray(counts, jnp.int32).reshape(batch)
+    )

@@ -35,9 +35,10 @@ formulation (exact same math), so training through it is correct with the
 einsum's backward memory profile. Sampling — the throughput path — never
 differentiates.
 
-Numerics: matmuls run in bf16 with fp32 accumulation, the softmax in fp32 —
+Numerics: matmuls run in the CALLER's dtype (bf16 models -> bf16 matmuls
+with fp32 accumulation, fp32 models -> fp32 matmuls), the softmax in fp32 —
 the same precision recipe as the einsum path (models/unet.py:244-248); equal
-to it within bf16 rounding, pinned by tests/test_tinyhead_attention.py.
+to it within op-order rounding, pinned by tests/test_tinyhead_attention.py.
 """
 
 from __future__ import annotations
@@ -57,10 +58,15 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_valid: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_valid: int,
+            mm_dtype):
     # blocks: q (1, 8, QB), k/v (1, 8, S_pad), o (1, 8, QB)
-    q = q_ref[0].astype(jnp.bfloat16)
-    k = k_ref[0].astype(jnp.bfloat16)
+    # mm_dtype is the CALLER's dtype: bf16 models get bf16 matmuls (fp32
+    # accumulation), fp32 models keep fp32 matmuls — exactly the precision
+    # the einsum path would have used (models/unet.py:244-248), so opting
+    # into the kernel never changes numerics beyond op-order rounding
+    q = q_ref[0].astype(mm_dtype)
+    k = k_ref[0].astype(mm_dtype)
     # scores (QB, S_pad): contract the 8-sublane head axis of q^T against k
     s = jax.lax.dot_general(
         q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -75,7 +81,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_valid: int):
     p = p / jnp.sum(p, axis=1, keepdims=True)
     # out^T (8, QB) = v (8, S) @ p^T (S, QB): contract the key axis
     o = jax.lax.dot_general(
-        v_ref[0].astype(jnp.bfloat16), p.astype(jnp.bfloat16),
+        v_ref[0].astype(mm_dtype), p.astype(mm_dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
     o_ref[0] = o
@@ -123,7 +129,10 @@ def _forward(q, k, v, scale, q_block, interpret):
 
     grid = (bh, sq_pad // qb)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=float(scale), s_valid=s),
+        functools.partial(
+            _kernel, scale=float(scale), s_valid=s,
+            mm_dtype=jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32,
+        ),
         out_shape=jax.ShapeDtypeStruct((bh, _SUB, sq_pad), jnp.float32),
         grid=grid,
         in_specs=[

@@ -98,7 +98,13 @@ def _use_fused_degrade(cfg, dependency, rule, capture_trajectory, mesh=None) -> 
     return (
         cfg.select_degrade_pixel == "indexing"
         and jax.default_backend() == "tpu"
-        and (jax.device_count() == 1 or mesh is not None)
+        # multi-device needs the shard_map route, which needs a mesh whose
+        # 'data' axis actually shards the batch — a data=1 (pure-TP) mesh
+        # would trace the unsharded pallas_call into a multi-device jit
+        and (
+            jax.device_count() == 1
+            or (mesh is not None and mesh.shape["data"] > 1)
+        )
     )
 
 

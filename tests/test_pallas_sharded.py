@@ -136,6 +136,33 @@ class TestGenerateMasksMeshGate:
         mesh = _mesh(8)
         assert not degrade_ops._use_pallas_kmask(128 * 128, 12, mesh)
 
+    def test_data1_mesh_multi_device_stays_off(self, monkeypatch):
+        """A pure-TP mesh (data=1) under multiple devices must NOT route the
+        unsharded pallas_call into the multi-device jit — that lowering is
+        untested (pallas_call has no GSPMD rule)."""
+        from masked_diffusion_tpu.ops import degrade as degrade_ops
+
+        monkeypatch.setenv("MDT_PALLAS_KMASK", "1")
+        mesh = make_mesh(data=1, model=8).mesh
+        assert not degrade_ops._use_pallas_kmask(128 * 128, 16, mesh)
+
+    def test_data1_mesh_fused_gate_stays_off(self, monkeypatch):
+        from masked_diffusion_tpu.config import Config
+        from masked_diffusion_tpu.sample.loop import _use_fused_degrade
+
+        monkeypatch.setenv("MDT_PALLAS_FUSED", "")
+        cfg = Config(
+            select_degrade_pixel="indexing", degrade_channel="1-channel",
+            mean_option="degraded_area", mean_area="image-wise",
+            data_size=64,
+        )
+        mesh = make_mesh(data=1, model=8).mesh
+        # on the CPU test backend both gates are off anyway; the assertion
+        # pins that a data=1 mesh never satisfies the multi-device arm
+        assert not _use_fused_degrade(
+            cfg, "independent", "base_momentum", False, mesh
+        )
+
     def test_mesh_divisible_routes_on_forced(self, monkeypatch):
         """On CPU the backend gate keeps it off even when forced + mesh-ok;
         the routing itself is pinned by the interpret-mode equality tests

@@ -95,11 +95,14 @@ class TestKernel:
 
 
 class TestModuleRouting:
-    def test_attention_block_tiny_flash_matches_einsum(self):
+    def test_attention_block_tiny_flash_matches_einsum(self, monkeypatch):
         """UNet AttentionBlock with tiny_flash routes through the kernel
-        (interpret on CPU) and matches the einsum block bitwise-close; at
-        S < 128 it silently falls back (same params, same output)."""
+        (CPU interpreter via the MDT_TINYHEAD_INTERPRET test hook — production
+        routing is TPU-only) and matches the einsum block; at S < 128 it
+        silently falls back (same params, same output)."""
         from masked_diffusion_tpu.models.unet import AttentionBlock
+
+        monkeypatch.setenv("MDT_TINYHEAD_INTERPRET", "1")
 
         rng = np.random.default_rng(7)
         x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)  # S=256
@@ -121,9 +124,10 @@ class TestModuleRouting:
             np.asarray(blk_tiny.apply(p2, x_small)),
         )
 
-    def test_unet_config_plumbs_flag(self):
+    def test_unet_config_plumbs_flag(self, monkeypatch):
         from masked_diffusion_tpu.models import build_unet
 
+        monkeypatch.setenv("MDT_TINYHEAD_INTERPRET", "1")
         m = build_unet(dim_channel=3, dim_height=32, dim_width=32,
                        num_attention=1, block_out_channels=(8, 16),
                        tinyhead_attention=True)
@@ -133,3 +137,18 @@ class TestModuleRouting:
         y = m.apply(params, x, jnp.zeros((1,), jnp.int32))
         assert y.shape == x.shape
         assert bool(jnp.all(jnp.isfinite(y)))
+
+    def test_off_tpu_without_hook_falls_back_to_einsum(self):
+        """Production discipline: off-TPU the tiny_flash flag must route to
+        the einsum (never interpret-mode emulation in a hot path)."""
+        from masked_diffusion_tpu.models.unet import AttentionBlock
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 32)), jnp.float32)
+        blk = AttentionBlock(head_dim=8, norm_groups=8)
+        blk_tiny = AttentionBlock(head_dim=8, norm_groups=8, tiny_flash=True)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_array_equal(  # identical = the einsum path itself
+            np.asarray(blk.apply(params, x)),
+            np.asarray(blk_tiny.apply(params, x)),
+        )

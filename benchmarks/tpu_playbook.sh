@@ -15,6 +15,8 @@
 #   attn   - CHECK=attn check_fused_tpu.py: tinyhead kernel vs einsum/flash/
 #            chunk at S=256/1024/4096 (+ the pending chunk-vs-flash verdict)
 #   reuse  - CHECK=reuse check_fused_tpu.py: encoder-reuse throughput/drift
+#   feed   - CHECK=feed check_fused_tpu.py: host-fed vs device-resident
+#            batch feeding through the Trainer epoch loop
 #   bench  - bench.py end-to-end sanity (the driver's round record path)
 
 set -u
@@ -44,7 +46,7 @@ run() {  # run <name> <budget_s> <cmd...>
 }
 
 ARGS=("$@")
-for SEC in trace gn attn reuse bench; do
+for SEC in trace gn attn reuse feed bench; do
   case " ${ARGS[*]:-} " in
     "  ") ;;                           # no filter: run all
     *" $SEC "*) ;;                     # requested
@@ -55,6 +57,7 @@ for SEC in trace gn attn reuse bench; do
     gn)    run gn 900 env CHECK=gn python benchmarks/check_fused_tpu.py ;;
     attn)  run attn 1800 env CHECK=attn python benchmarks/check_fused_tpu.py ;;
     reuse) run reuse 900 env CHECK=reuse python benchmarks/check_fused_tpu.py ;;
+    feed)  run feed 900 env CHECK=feed python benchmarks/check_fused_tpu.py ;;
     bench) run bench 700 python bench.py ;;
   esac
 done

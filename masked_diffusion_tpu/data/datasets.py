@@ -319,6 +319,30 @@ class InMemoryDataset:
     def shape(self):
         return self.data.shape
 
+    def epoch_index_batches(
+        self,
+        rng: np.random.Generator,
+        batch_size: int,
+        drop_last: bool = True,
+        shuffle: bool = True,
+        start: int = 0,
+    ) -> Iterator:
+        """Shuffled per-batch index arrays — the shuffle/skip semantics of
+        epoch_batches without materializing the data (the device-resident
+        fast path gathers by these indices on the accelerator, so only ~64
+        int64s cross the host↔device link per step instead of the batch)."""
+        idx = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(idx)
+        n_full = len(self) // batch_size
+        for i in range(n_full):
+            if i < start:
+                yield None
+                continue
+            yield idx[i * batch_size : (i + 1) * batch_size]
+        if not drop_last and len(self) % batch_size:
+            yield idx[n_full * batch_size :]
+
     def epoch_batches(
         self,
         rng: np.random.Generator,
@@ -333,18 +357,13 @@ class InMemoryDataset:
         `start` skips the first batches WITHOUT materializing them (mid-epoch
         resume: the shuffle is drawn in full so the remaining batches match
         the uninterrupted epoch, but skipped batches yield None instead of a
-        fancy-indexed copy)."""
-        idx = np.arange(len(self))
-        if shuffle:
-            rng.shuffle(idx)
-        n_full = len(self) // batch_size
-        for i in range(n_full):
-            if i < start:
-                yield None
-                continue
-            yield self.data[idx[i * batch_size : (i + 1) * batch_size]]
-        if not drop_last and len(self) % batch_size:
-            yield self.data[idx[n_full * batch_size :]]
+        fancy-indexed copy). Built on epoch_index_batches so the host-fed and
+        device-resident paths consume the SAME rng stream and see the same
+        per-batch membership (bitwise-resume invariant)."""
+        for sel in self.epoch_index_batches(
+            rng, batch_size, drop_last=drop_last, shuffle=shuffle, start=start
+        ):
+            yield None if sel is None else self.data[sel]
 
     def num_batches(self, batch_size: int, drop_last: bool = True) -> int:
         if drop_last:

@@ -132,7 +132,9 @@ class Trainer:
         self._sample_cache: Dict[tuple, callable] = {}
         self._visuals_cache: Dict[tuple, callable] = {}
         self._interp_cache: Dict[tuple, callable] = {}
-        self._last_batch: Optional[np.ndarray] = None
+        self._last_batch = None  # np.ndarray (host-fed) or jax.Array (device-resident)
+        self._data_dev = None
+        self._gather_fn = None
         self.lr_list: List[float] = []
         self.loss_mean_epoch: List[float] = []
         self.global_step = 0
@@ -247,7 +249,9 @@ class Trainer:
             )
         return self._visuals_cache[key]
 
-    def _put_batch(self, batch: np.ndarray):
+    def _put_batch(self, batch):
+        if isinstance(batch, jax.Array):
+            return batch  # device-resident path: already gathered + sharded
         if self.mesh_plan is not None:
             from masked_diffusion_tpu.parallel.mesh import put_global_batch
 
@@ -255,6 +259,44 @@ class Trainer:
                 self.mesh_plan, batch, sharding=self._batch_sharding()
             )
         return jnp.asarray(batch)
+
+    # ------------------------------------------------- device-resident data
+    def _use_device_data(self) -> bool:
+        """Keep the whole (subset) dataset in HBM and gather batches on
+        device, so only the ~batch_size int64 indices cross the host↔device
+        link per step instead of the batch tensor. On the axon tunnel
+        (28 ms RTT, CLAUDE.md) the per-step host push is a real tax; the
+        reference's workloads train on 128–2048-image subsets
+        (script_main.sh data_subset_num), well under the cap.
+
+        Auto-on when single-process and the fp32 data fits the byte cap
+        (MDT_DEVICE_DATA_CAP_MB, default 512 — the chip also holds the
+        ~2.3 GB train state + activations). MDT_DEVICE_DATA=1/0 forces.
+        Multi-process stays on put_global_batch: each host only holds its
+        local shard of the global batch."""
+        env = os.environ.get("MDT_DEVICE_DATA")
+        if env is not None:
+            return env == "1"
+        if host.process_count() > 1:
+            return False
+        cap_mb = float(os.environ.get("MDT_DEVICE_DATA_CAP_MB", 512))
+        return self.dataset.data.nbytes <= cap_mb * 1e6
+
+    def _gather_batch(self, sel: np.ndarray):
+        """Device-side batch gather: data stays resident (replicated under a
+        mesh), the output lands directly in the step's batch sharding."""
+        if self._data_dev is None:
+            if self.mesh_plan is not None:
+                self._data_dev = jax.device_put(
+                    jnp.asarray(self.dataset.data), self.mesh_plan.replicated
+                )
+            else:
+                self._data_dev = jnp.asarray(self.dataset.data)
+            self._gather_fn = jax.jit(
+                lambda d, i: jnp.take(d, i, axis=0),
+                out_shardings=self._batch_sharding(),
+            )
+        return self._gather_fn(self._data_dev, jnp.asarray(sel))
 
     # ------------------------------------------------------------------ train
     def train(
@@ -368,13 +410,22 @@ class Trainer:
             # batches/keys the preempted run never reached; skipped batches
             # are never materialized (epoch_batches start=)
             skip = resume_step if epoch == epoch_start else 0
+            # device-resident fast path: iterate index batches and gather on
+            # device (same rng stream as epoch_batches -> same membership,
+            # bitwise-equal losses; tests/test_trainer_e2e.py pins it)
+            use_dev_data = self._use_device_data()
+            batches = (
+                self.dataset.epoch_index_batches(rng, cfg.batch_size, start=skip)
+                if use_dev_data
+                else self.dataset.epoch_batches(rng, cfg.batch_size, start=skip)
+            )
             with trace(cfg.profile_dir if epoch == profile_epoch else None):
-                for i, batch in enumerate(
-                    self.dataset.epoch_batches(rng, cfg.batch_size, start=skip)
-                ):
+                for i, batch in enumerate(batches):
                     data_key, step_key = jax.random.split(data_key)
                     if batch is None:
                         continue
+                    if use_dev_data:
+                        batch = self._gather_batch(batch)
                     self.state, metrics = step_fn(
                         self.state, self._put_batch(batch), step_key
                     )

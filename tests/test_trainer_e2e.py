@@ -225,3 +225,28 @@ def test_trajectory_grids_saved(tmp_path):
     pngs = glob.glob(os.path.join(dirs.list_dir["sample_all_t"], "*.png"))
     assert any("sample_t_" in p for p in pngs)
     assert any("sample_0_" in p for p in pngs)
+
+
+def test_device_resident_data_bitwise(tmp_path, monkeypatch):
+    """The device-resident data fast path (trainer._use_device_data: dataset
+    in HBM + on-device index gather, replacing the per-step host push) must
+    be invisible to training: same rng stream, same batch membership, and
+    bitwise-equal per-epoch losses vs the host-fed path."""
+    from masked_diffusion_tpu.data.datasets import InMemoryDataset, make_synthetic
+
+    def losses(env_val, tag):
+        monkeypatch.setenv("MDT_DEVICE_DATA", env_val)
+        cfg = _cfg(tmp_path, num_epochs=2, save_images_epochs=99,
+                   sample_latent_shape="zero")
+        data, labels = make_synthetic(32, SIZE, seed=0)
+        trainer = Trainer(cfg, InMemoryDataset(data, labels))
+        dirs = Dir(task="train", content=f"feed_{tag}", dir_work=str(tmp_path),
+                   data_name="synthetic", data_size=SIZE, method=cfg.method)
+        result = trainer.train(0, cfg.num_epochs, dirs=dirs)
+        # the device path must actually have engaged (or not)
+        assert (trainer._data_dev is not None) == (env_val == "1")
+        return result["loss_mean_epoch"]
+
+    host_fed = losses("0", "host")
+    device_res = losses("1", "dev")
+    assert host_fed == device_res  # bitwise: same floats, not just close

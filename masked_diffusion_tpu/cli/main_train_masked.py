@@ -14,6 +14,7 @@ replication; on multi-host pods call jax.distributed via --multihost.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -198,6 +199,17 @@ def config_from_args(args) -> "Config":
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # MDT_PLATFORM=cpu forces the jax backend (CI / machines without the TPU
+    # tunnel). Must happen before ANY jax import, and needs the config update
+    # on top of the env var because the axon plugin re-overrides JAX_PLATFORMS
+    # at import time (same dance as tests/conftest.py).
+    plat = os.environ.get("MDT_PLATFORM")
+    if plat:
+        os.environ["JAX_PLATFORMS"] = plat
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", plat)
 
     if args.multihost:
         from masked_diffusion_tpu.parallel.mesh import init_distributed

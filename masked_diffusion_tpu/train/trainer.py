@@ -74,6 +74,32 @@ def build_model_from_config(cfg: Config):
     )
 
 
+def _unet_meta(model) -> dict:
+    """Checkpoint meta recording the model topology.
+
+    Written into every save's meta.json so io/export_torch.py can emit an
+    exact diffusers config.json (sample_size / attention_head_dim /
+    norm_groups leave no imprint on parameter shapes and would otherwise be
+    guessed — wrong for e.g. the unet6 zoo tables' norm_groups=8). Key
+    vocabulary matches what io/import_torch.py records on import."""
+    ucfg = getattr(model, "config", None)
+    if ucfg is None or not hasattr(ucfg, "block_out_channels"):
+        return {}
+    return {
+        "unet_config": {
+            "sample_size": ucfg.sample_size,
+            "in_channels": ucfg.in_channels,
+            "out_channels": ucfg.out_channels,
+            "block_out_channels": list(ucfg.block_out_channels),
+            "layers_per_block": ucfg.layers_per_block,
+            "attn_down": list(ucfg.attn_down),
+            "attn_up": list(ucfg.attn_up),
+            "attention_head_dim": ucfg.attention_head_dim,
+            "norm_groups": ucfg.norm_groups,
+        }
+    }
+
+
 class Trainer:
     def __init__(
         self,
@@ -109,6 +135,7 @@ class Trainer:
         cfg.updated_ddpm_num_steps = self.schedule.num_steps
 
         self.model = model if model is not None else build_model_from_config(cfg)
+        self._ckpt_meta = _unet_meta(self.model)
 
         steps_per_epoch = dataset.num_batches(cfg.batch_size)
         total_steps = max(1, steps_per_epoch * cfg.num_epochs)
@@ -458,7 +485,8 @@ class Trainer:
                     save_checkpoint(
                         dirs.list_dir["checkpoint"], epoch, self.global_step,
                         self.state.params, self.state.ema_params,
-                        self.state.opt_state, extra_meta={"non_finite_loss": True},
+                        self.state.opt_state,
+                        extra_meta={**self._ckpt_meta, "non_finite_loss": True},
                     )
                 raise FloatingPointError(
                     f"non-finite train loss at epoch {epoch} "
@@ -482,7 +510,7 @@ class Trainer:
                         dirs.list_dir["checkpoint"], epoch, self.global_step,
                         self.state.params, self.state.ema_params,
                         self.state.opt_state,
-                        extra_meta={"preempted": True},
+                        extra_meta={**self._ckpt_meta, "preempted": True},
                         history={
                             "loss_mean_epoch": self.loss_mean_epoch,
                             "lr_list": self.lr_list,
@@ -543,6 +571,7 @@ class Trainer:
                     save_checkpoint(
                         dirs.list_dir["checkpoint"], epoch, self.global_step,
                         self.state.params, self.state.ema_params, self.state.opt_state,
+                        extra_meta=self._ckpt_meta or None,
                         history={
                             "loss_mean_epoch": self.loss_mean_epoch,
                             "lr_list": self.lr_list,

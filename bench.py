@@ -82,8 +82,11 @@ class _Emitter:
         """
         import threading
 
+        cancel = threading.Event()
+
         def _watch():
-            time.sleep(max(deadline_s, 1.0))
+            if cancel.wait(max(deadline_s, 1.0)):
+                return  # disarmed: the guarded phase completed
             if self.snapshot is not None:
                 snap = dict(self.snapshot)
                 snap.setdefault("extra", {})["watchdog_expired"] = True
@@ -91,6 +94,7 @@ class _Emitter:
             os._exit(0)
 
         threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
+        return cancel
 
 
 def _wait_for_tpu(max_wait_s: float) -> bool:
@@ -173,6 +177,7 @@ def main() -> int:
 
     wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", 120))
     probe_ok = None
+    short_fuse = None
     if wait_s > 0 and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
         try:
             probe_ok = _wait_for_tpu(min(wait_s, max(_remaining() - 120, 0)))
@@ -184,8 +189,21 @@ def main() -> int:
         # the JSON alone
         result["extra"]["tpu_probe_ok"] = probe_ok
         emitter.emit(result)
+        if probe_ok is False:
+            # the tunnel did not answer for the whole probe window. Still try
+            # the in-process init (it may have JUST come up), but with a SHORT
+            # salvage fuse: a wedged PJRT init never recovers (CLAUDE.md), and
+            # waiting out the full self-budget would push past short driver
+            # budgets. Whichever watchdog fires first wins (os._exit).
+            result["extra"]["stage"] = "tpu-unreachable"
+            short_fuse = emitter.install_watchdog(90)
 
     import jax
+
+    jax.devices()  # backend init — the wedge point when the tunnel is dead
+    if short_fuse is not None:
+        short_fuse.set()  # init succeeded: hand back to the full self-budget
+
     import jax.numpy as jnp
     import numpy as np
 

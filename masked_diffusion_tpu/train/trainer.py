@@ -299,13 +299,16 @@ class Trainer:
         Auto-on when single-process and the fp32 data fits the byte cap
         (MDT_DEVICE_DATA_CAP_MB, default 512 — the chip also holds the
         ~2.3 GB train state + activations). MDT_DEVICE_DATA=1/0 forces.
-        Multi-process stays on put_global_batch: each host only holds its
-        local shard of the global batch."""
+        Multi-process ALWAYS stays on put_global_batch (the guard precedes
+        the env force): _gather_batch device_puts this host's array and jits
+        over host-local index arrays, neither of which is a global array in
+        a multi-controller run — forcing it there would be silently wrong,
+        not just slow."""
+        if host.process_count() > 1:
+            return False
         env = os.environ.get("MDT_DEVICE_DATA")
         if env is not None:
             return env == "1"
-        if host.process_count() > 1:
-            return False
         cap_mb = float(os.environ.get("MDT_DEVICE_DATA_CAP_MB", 512))
         return self.dataset.data.nbytes <= cap_mb * 1e6
 

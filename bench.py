@@ -70,7 +70,7 @@ class _Emitter:
 
         signal.signal(signal.SIGTERM, _on_term)
 
-    def install_watchdog(self, deadline_s: float) -> None:
+    def install_watchdog(self, deadline_s: float):
         """Salvage even when the main thread is wedged in native code.
 
         A Python SIGTERM handler only runs between bytecodes — a main thread
@@ -79,6 +79,10 @@ class _Emitter:
         it, and `timeout` without -k then waits forever. A daemon THREAD
         still gets scheduled (the native waits release the GIL): at the
         self-budget it prints the best-known snapshot and force-exits 0.
+
+        Returns a threading.Event that disarms this watchdog when set
+        (used by the short post-probe-failure fuse, which must yield back
+        to the long self-budget if the in-process init succeeds after all).
         """
         import threading
 

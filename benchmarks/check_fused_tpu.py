@@ -326,28 +326,30 @@ def bench_feed(size=64, batch=64, n_data=1024, epochs=4):
 
     data, labels = make_synthetic(n_data, size, seed=0, channels=3)
     out = {}
-    for arm, env in (("host_fed", "0"), ("device_resident", "1")):
-        os.environ["MDT_DEVICE_DATA"] = env
-        cfg = Config(
-            method="mean_shift", data_name="synthetic", data_size=size,
-            batch_size=batch, num_epochs=epochs, ddpm_schedule="linear",
-            ddpm_num_steps=200, select_degrade_pixel="thresholding",
-            degrade_channel="1-channel", mean_option="degraded_area",
-            mean_area="image-wise", shift_type="1-d_constant",
-            mixed_precision="bf16", use_ema=True, use_wandb=False,
-            lr=1e-4, lr_scheduler="constant", lr_warmup_steps=0,
-            save_images_epochs=10**9,  # no cadence work inside the timing
-        )
-        trainer = Trainer(cfg, InMemoryDataset(data, labels))
-        t_marks = []
-        # train one epoch at a time so the compile epoch is separable
-        trainer.train(0, 1)  # compile + warm
-        t0 = time.perf_counter()
-        trainer.train(1, epochs - 1)
-        t_marks.append(time.perf_counter() - t0)
-        steps = (n_data // batch) * (epochs - 1)
-        out[f"{arm}_steps_per_sec"] = round(steps / t_marks[-1], 3)
-    os.environ.pop("MDT_DEVICE_DATA", None)
+    try:
+        for arm, env in (("host_fed", "0"), ("device_resident", "1")):
+            os.environ["MDT_DEVICE_DATA"] = env
+            cfg = Config(
+                method="mean_shift", data_name="synthetic", data_size=size,
+                batch_size=batch, num_epochs=epochs, ddpm_schedule="linear",
+                ddpm_num_steps=200, select_degrade_pixel="thresholding",
+                degrade_channel="1-channel", mean_option="degraded_area",
+                mean_area="image-wise", shift_type="1-d_constant",
+                mixed_precision="bf16", use_ema=True, use_wandb=False,
+                lr=1e-4, lr_scheduler="constant", lr_warmup_steps=0,
+                save_images_epochs=10**9,  # no cadence work inside the timing
+            )
+            trainer = Trainer(cfg, InMemoryDataset(data, labels))
+            # train one epoch at a time so the compile epoch is separable
+            trainer.train(0, 1)  # compile + warm
+            t0 = time.perf_counter()
+            trainer.train(1, epochs - 1)
+            elapsed = time.perf_counter() - t0
+            steps = (n_data // batch) * (epochs - 1)
+            out[f"{arm}_steps_per_sec"] = round(steps / elapsed, 3)
+    finally:
+        # never leak the forced feed mode into later CHECK sections
+        os.environ.pop("MDT_DEVICE_DATA", None)
     print(json.dumps({
         "bench": "feed_path", "size": size, "batch": batch, "n_data": n_data,
         **out,

@@ -25,7 +25,7 @@ OUT=docs/results_r4
 mkdir -p "$OUT"
 
 probe() {
-  timeout 90 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" \
+  timeout -k 10 90 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" \
     >/dev/null 2>&1
 }
 
@@ -36,11 +36,13 @@ if ! probe; then
 fi
 sleep 5  # HBM-release lag after the probe (CLAUDE.md)
 
+OK=0
 run() {  # run <name> <budget_s> <cmd...>
   local name=$1 budget=$2; shift 2
   echo "=== $name (budget ${budget}s) ==="
-  timeout "$budget" "$@" 2>"$OUT/$name.err" | tee "$OUT/$name.json"
+  timeout -k 15 "$budget" "$@" 2>"$OUT/$name.err" | tee "$OUT/$name.json"
   local rc=${PIPESTATUS[0]}
+  [ "$rc" -eq 0 ] && OK=1
   echo "--- $name rc=$rc"
   sleep 8  # let HBM fully release before the next TPU job
 }
@@ -61,4 +63,7 @@ for SEC in trace gn attn reuse feed bench; do
     bench) run bench 700 python bench.py ;;
   esac
 done
-echo "done — results in $OUT/"
+echo "done — results in $OUT/ (any section ok: $OK)"
+# nonzero when NO section succeeded, so tpu_watch.sh re-arms instead of
+# disarming on a run the tunnel killed entirely
+[ "$OK" -eq 1 ]

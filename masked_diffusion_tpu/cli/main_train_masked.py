@@ -201,15 +201,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     # MDT_PLATFORM=cpu forces the jax backend (CI / machines without the TPU
-    # tunnel). Must happen before ANY jax import, and needs the config update
-    # on top of the env var because the axon plugin re-overrides JAX_PLATFORMS
-    # at import time (same dance as tests/conftest.py).
+    # tunnel); must happen before ANY other jax use (utils/platform.py)
     plat = os.environ.get("MDT_PLATFORM")
     if plat:
-        os.environ["JAX_PLATFORMS"] = plat
-        import jax as _jax
+        from masked_diffusion_tpu.utils.platform import force_platform
 
-        _jax.config.update("jax_platforms", plat)
+        force_platform(plat)
 
     if args.multihost:
         from masked_diffusion_tpu.parallel.mesh import init_distributed

@@ -110,6 +110,18 @@ def diffusers_config_from_unet(ucfg) -> dict:
     }
 
 
+def _np(x) -> np.ndarray:
+    """Dtype-preserving host array: fp16/fp32/fp64 pass through bitwise
+    (import_torch maps tensors uncast, so an imported half-precision
+    reference checkpoint round-trips exactly); extension dtypes numpy-
+    safetensors cannot carry (ml_dtypes bf16 and friends) widen to fp32
+    (value-exact, dtype not preserved)."""
+    a = np.asarray(x)
+    if a.dtype not in (np.float16, np.float32, np.float64):
+        a = a.astype(np.float32)
+    return a
+
+
 def state_dict_from_params(variables: Dict[str, Any], ucfg) -> Dict[str, np.ndarray]:
     """Flax UNet2D variables tree -> flat diffusers UNet2DModel state dict.
 
@@ -120,19 +132,17 @@ def state_dict_from_params(variables: Dict[str, Any], ucfg) -> Dict[str, np.ndar
 
     def conv(name, leaf):
         sd[f"{name}.weight"] = np.ascontiguousarray(
-            np.asarray(leaf["kernel"], dtype=np.float32).transpose(3, 2, 0, 1)
+            _np(leaf["kernel"]).transpose(3, 2, 0, 1)
         )
-        sd[f"{name}.bias"] = np.asarray(leaf["bias"], dtype=np.float32)
+        sd[f"{name}.bias"] = _np(leaf["bias"])
 
     def dense(name, leaf):
-        sd[f"{name}.weight"] = np.ascontiguousarray(
-            np.asarray(leaf["kernel"], dtype=np.float32).T
-        )
-        sd[f"{name}.bias"] = np.asarray(leaf["bias"], dtype=np.float32)
+        sd[f"{name}.weight"] = np.ascontiguousarray(_np(leaf["kernel"]).T)
+        sd[f"{name}.bias"] = _np(leaf["bias"])
 
     def norm(name, leaf):
-        sd[f"{name}.weight"] = np.asarray(leaf["scale"], dtype=np.float32)
-        sd[f"{name}.bias"] = np.asarray(leaf["bias"], dtype=np.float32)
+        sd[f"{name}.weight"] = _np(leaf["scale"])
+        sd[f"{name}.bias"] = _np(leaf["bias"])
 
     def resnet(name, leaf):
         norm(f"{name}.norm1", leaf["norm1"])
@@ -210,8 +220,8 @@ def export_checkpoint(
     out_dir: str,
     fmt: str = "safetensors",
     sample_size: Optional[int] = None,
-    attention_head_dim: int = 8,
-    norm_groups: int = 32,
+    attention_head_dim: Optional[int] = None,
+    norm_groups: Optional[int] = None,
 ) -> str:
     """Convert one orbax checkpoint dir into a reference checkpoint dir
     (checkpoint-epoch-N/{unet, unet_ema}) under out_dir. Returns the path."""
@@ -226,26 +236,43 @@ def export_checkpoint(
     params = variables["params"] if "params" in variables else variables
 
     saved_cfg = meta.get("unet_config") or {}
+
+    # uniform precedence for the three config-only fields (no imprint on
+    # parameter shapes): explicit argument > checkpoint meta > reference
+    # default (utils/model.py:24-32)
+    def pick(explicit, key, default):
+        if explicit is not None:
+            return explicit
+        return saved_cfg.get(key, default)
+
     ucfg = unet_config_from_params(
         params,
-        sample_size=sample_size or saved_cfg.get("sample_size", 64),
-        attention_head_dim=saved_cfg.get("attention_head_dim",
-                                         attention_head_dim),
-        norm_groups=saved_cfg.get("norm_groups", norm_groups),
+        sample_size=pick(sample_size, "sample_size", 64),
+        attention_head_dim=pick(attention_head_dim, "attention_head_dim", 8),
+        norm_groups=pick(norm_groups, "norm_groups", 32),
     )
     config = diffusers_config_from_unet(ucfg)
-    if min(ucfg.block_out_channels) < ucfg.norm_groups:
-        # models/unet.py:_norm_groups clamps per-level group counts to the
-        # channel count; diffusers applies norm_num_groups uniformly and
-        # cannot express that clamp — torch-side loading of such (toy-sized)
-        # topologies will reject or mis-group the narrow levels
+    from masked_diffusion_tpu.models.unet import _norm_groups
+
+    clamped = sorted(
+        c for c in set(ucfg.block_out_channels)
+        if _norm_groups(c, ucfg.norm_groups) != ucfg.norm_groups
+    )
+    if clamped:
+        # models/unet.py:_norm_groups adjusts per-level group counts (channel
+        # divisibility and the >=2-channels-per-group floor); diffusers
+        # applies norm_num_groups uniformly and cannot express that — for
+        # these levels torch-side loading rejects (indivisible) or silently
+        # normalizes with different grouping
         import warnings
 
         warnings.warn(
-            f"norm_groups={ucfg.norm_groups} exceeds the narrowest level "
-            f"({min(ucfg.block_out_channels)} channels); the flax model "
-            "clamps per level but diffusers' UNet2DModel cannot — the "
-            "exported config.json is not loadable by diffusers as-is",
+            f"norm_groups={ucfg.norm_groups} is clamped by the flax model at "
+            f"levels with channels {clamped} "
+            f"(to {[_norm_groups(c, ucfg.norm_groups) for c in clamped]}); "
+            "diffusers' UNet2DModel cannot express per-level group counts — "
+            "the exported config.json will not load equivalently for this "
+            "topology",
             stacklevel=2,
         )
 
@@ -258,34 +285,28 @@ def export_checkpoint(
     if "unet_ema" in meta.get("items", []) or os.path.isdir(
             os.path.join(src, "unet_ema")):
         ema_vars = _restore_raw(os.path.join(src, "unet_ema"))
-        # EMAModel.save_pretrained merges its hyperparameters into config.json
+        # EMAModel.save_pretrained merges its hyperparameters into
+        # config.json. Fallback values are the REFERENCE's EMA flags
+        # (main_train_masked.py:116-131: use_ema_warmup=True, inv_gamma=1.0,
+        # power=3/4, max 0.9999 — this framework trains the same law,
+        # models/ema.py); meta["ema"] (written by the Trainer and by
+        # import_torch) overrides with the run's actual hyperparameters.
         ema_cfg = {**config, "decay": 0.9999, "min_decay": 0.0,
                    "optimization_step": step, "update_after_step": 0,
-                   "use_ema_warmup": False, "inv_gamma": 1.0, "power": 0.6667,
+                   "use_ema_warmup": True, "inv_gamma": 1.0, "power": 0.75,
                    **meta.get("ema", {})}
         _write_pretrained(os.path.join(dst, "unet_ema"),
                           state_dict_from_params(ema_vars, ucfg), ema_cfg, fmt)
     return dst
 
 
-def _force_cpu_backend() -> None:
-    """Pin jax to the CPU platform for the CLI entry point.
-
-    Checkpoint conversion is pure host-side numpy work; initializing the
-    default (TPU) backend would both steal the one-TPU-job-at-a-time slot
-    and wedge indefinitely when the tunnel is down. The axon plugin
-    re-overrides JAX_PLATFORMS at import, so the config update is required
-    in addition to the env var (same dance as tests/conftest.py)."""
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-
 def main(argv=None) -> int:
     import argparse
 
-    _force_cpu_backend()
+    from masked_diffusion_tpu.utils.platform import force_platform
+
+    # conversion is host-side numpy work: never init (or wedge on) the TPU
+    force_platform("cpu")
     ap = argparse.ArgumentParser(
         prog="python -m masked_diffusion_tpu.io.export_torch",
         description="Export an orbax checkpoint (checkpoint-epoch-N/"
@@ -298,9 +319,11 @@ def main(argv=None) -> int:
                     default="safetensors")
     ap.add_argument("--sample_size", type=int, default=None,
                     help="config.json sample_size (no imprint on weights; "
-                    "default: meta.json's unet_config or 64)")
-    ap.add_argument("--attention_head_dim", type=int, default=8)
-    ap.add_argument("--norm_num_groups", type=int, default=32)
+                    "default: meta.json's unet_config, else 64)")
+    ap.add_argument("--attention_head_dim", type=int, default=None,
+                    help="override meta.json's value (default: meta, else 8)")
+    ap.add_argument("--norm_num_groups", type=int, default=None,
+                    help="override meta.json's value (default: meta, else 32)")
     args = ap.parse_args(argv)
     dst = export_checkpoint(
         args.src, args.out_dir, fmt=args.format,

@@ -289,24 +289,13 @@ def import_checkpoint(
     )
 
 
-def _force_cpu_backend() -> None:
-    """Pin jax to the CPU platform for the CLI entry point.
-
-    Checkpoint conversion is pure host-side numpy work; initializing the
-    default (TPU) backend would both steal the one-TPU-job-at-a-time slot
-    and wedge indefinitely when the tunnel is down. The axon plugin
-    re-overrides JAX_PLATFORMS at import, so the config update is required
-    in addition to the env var (same dance as tests/conftest.py)."""
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-
 def main(argv=None) -> int:
     import argparse
 
-    _force_cpu_backend()
+    from masked_diffusion_tpu.utils.platform import force_platform
+
+    # conversion is host-side numpy work: never init (or wedge on) the TPU
+    force_platform("cpu")
     ap = argparse.ArgumentParser(
         prog="python -m masked_diffusion_tpu.io.import_torch",
         description="Import a reference torch checkpoint "

@@ -74,18 +74,22 @@ def build_model_from_config(cfg: Config):
     )
 
 
-def _unet_meta(model) -> dict:
-    """Checkpoint meta recording the model topology.
+def _unet_meta(model, cfg: Optional[Config] = None) -> dict:
+    """Checkpoint meta recording the model topology + EMA hyperparameters.
 
     Written into every save's meta.json so io/export_torch.py can emit an
     exact diffusers config.json (sample_size / attention_head_dim /
     norm_groups leave no imprint on parameter shapes and would otherwise be
     guessed — wrong for e.g. the unet6 zoo tables' norm_groups=8). Key
-    vocabulary matches what io/import_torch.py records on import."""
+    vocabulary matches what io/import_torch.py records on import; the "ema"
+    block uses diffusers EMAModel config keys (this framework's warmup decay
+    law IS the reference's EMAModel(use_ema_warmup=True, ...) schedule,
+    main_train_masked.py:116-131 / models/ema.py) so a reference-side
+    fine-tune continues the same decay curve."""
     ucfg = getattr(model, "config", None)
     if ucfg is None or not hasattr(ucfg, "block_out_channels"):
         return {}
-    return {
+    meta = {
         "unet_config": {
             "sample_size": ucfg.sample_size,
             "in_channels": ucfg.in_channels,
@@ -98,6 +102,16 @@ def _unet_meta(model) -> dict:
             "norm_groups": ucfg.norm_groups,
         }
     }
+    if cfg is not None and cfg.use_ema:
+        meta["ema"] = {
+            "decay": cfg.ema_max_decay,
+            "min_decay": 0.0,
+            "use_ema_warmup": True,
+            "inv_gamma": cfg.ema_inv_gamma,
+            "power": cfg.ema_power,
+            "update_after_step": 0,
+        }
+    return meta
 
 
 class Trainer:
@@ -135,7 +149,7 @@ class Trainer:
         cfg.updated_ddpm_num_steps = self.schedule.num_steps
 
         self.model = model if model is not None else build_model_from_config(cfg)
-        self._ckpt_meta = _unet_meta(self.model)
+        self._ckpt_meta = _unet_meta(self.model, cfg)
 
         steps_per_epoch = dataset.num_batches(cfg.batch_size)
         total_steps = max(1, steps_per_epoch * cfg.num_epochs)

@@ -193,12 +193,35 @@ class TestFlaxTorchFlax:
         assert meta["unet_config"]["norm_groups"] == 8
         assert meta["unet_config"]["sample_size"] == size
 
+        # the trainer also records its EMA hyperparameters (the diffusers
+        # EMAModel warmup law the reference configures,
+        # main_train_masked.py:116-131) so a reference-side fine-tune
+        # continues the same decay curve
+        assert meta["ema"] == {
+            "decay": cfg.ema_max_decay, "min_decay": 0.0,
+            "use_ema_warmup": True, "inv_gamma": cfg.ema_inv_gamma,
+            "power": cfg.ema_power, "update_after_step": 0,
+        }
+
         out = export_checkpoint(ckpt, str(tmp_path / "torch"))
         with open(os.path.join(out, "unet", "config.json")) as f:
             dcfg = json.load(f)
         assert dcfg["norm_num_groups"] == 8
         assert dcfg["sample_size"] == size
         assert dcfg["block_out_channels"] == [8, 16]
+        with open(os.path.join(out, "unet_ema", "config.json")) as f:
+            ecfg = json.load(f)
+        assert ecfg["use_ema_warmup"] is True
+        assert ecfg["power"] == cfg.ema_power
+        assert ecfg["decay"] == cfg.ema_max_decay
+
+        # explicit CLI-style overrides beat the recorded meta uniformly
+        out2 = export_checkpoint(ckpt, str(tmp_path / "torch2"),
+                                 attention_head_dim=16)
+        with open(os.path.join(out2, "unet", "config.json")) as f:
+            dcfg2 = json.load(f)
+        assert dcfg2["attention_head_dim"] == 16
+        assert dcfg2["norm_num_groups"] == 8  # meta still wins when not given
 
     def test_export_inverts_import_mapping_shapes(self):
         """state_dict_from_params/map_state_dict are structural inverses:

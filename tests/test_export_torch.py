@@ -223,6 +223,25 @@ class TestFlaxTorchFlax:
         assert dcfg2["attention_head_dim"] == 16
         assert dcfg2["norm_num_groups"] == 8  # meta still wins when not given
 
+    def test_half_precision_checkpoint_roundtrips_bitwise(self, tmp_path):
+        """diffusers ships many released checkpoints in fp16; import maps
+        tensors uncast, and export must preserve the stored dtype so the
+        torch->flax->torch path stays bitwise for them too
+        (export_torch._np)."""
+        tmodel = _twin(5).half()
+        src = tmp_path / "checkpoint-epoch-3"
+        _write_pretrained(src / "unet", _twin_to_diffusers_sd(tmodel),
+                          _diffusers_config())
+        orbax_dir = import_checkpoint(str(src), str(tmp_path / "orbax"))
+        out = export_checkpoint(orbax_dir, str(tmp_path / "back"))
+        got, _ = load_diffusers_folder(os.path.join(out, "unet"))
+        want, _ = load_diffusers_folder(str(src / "unet"))
+        for k in want:
+            w = np.asarray(want[k])
+            g = np.asarray(got[k])
+            assert g.dtype == w.dtype == np.float16, k
+            np.testing.assert_array_equal(g, w, err_msg=k)
+
     def test_export_inverts_import_mapping_shapes(self):
         """state_dict_from_params/map_state_dict are structural inverses:
         conv HWIO<->OIHW, dense transpose, norm scale<->weight."""

@@ -175,6 +175,64 @@ def bench_attention_scan():
         }), flush=True)
 
 
+def bench_attention_4k():
+    """S=4096 escape-hatch ranking, one arm per PROCESS: a RESOURCE_EXHAUSTED
+    from the (expected-to-fail) einsum arm poisons every later allocation in
+    the same client (measured r4: all four arms FAIL together), so each arm
+    gets a fresh TPU client. Serialized with an HBM-release sleep between."""
+    import subprocess
+
+    arm = os.environ.get("ATTN_ARM")
+    if arm:  # child: run exactly this arm inline
+        from masked_diffusion_tpu.models.unet import AttentionBlock
+
+        b, s, c = 4, 64, 256
+        kw = {
+            "einsum": dict(flash=False),
+            "flash": dict(flash=True),
+            "chunk512": dict(chunk_q=512),
+            "tinyhead": dict(tiny_flash=True),
+        }[arm]
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, s, s, c)), jnp.bfloat16
+        )
+        blk = AttentionBlock(dtype=jnp.bfloat16, **kw)
+        try:
+            p = blk.init(jax.random.PRNGKey(0), x)
+
+            @jax.jit
+            def run(pp, xx):
+                def body(h, _):
+                    return blk.apply(pp, h).astype(jnp.bfloat16), None
+
+                out, _ = jax.lax.scan(body, xx, None, length=20)
+                return out
+
+            float(jnp.sum(run(p, x)))  # compile + sync
+            t0 = time.perf_counter()
+            float(jnp.sum(run(p, x)))
+            ms = round((time.perf_counter() - t0) / 20 * 1e3, 3)
+        except Exception as e:
+            ms = f"FAIL: {type(e).__name__}: {str(e)[:100]}"
+        print(json.dumps({
+            "bench": "attention_4k", "batch": b, "tokens": s * s,
+            "channels": c, f"{arm}_ms": ms,
+        }), flush=True)
+        return
+
+    for a in ("einsum", "flash", "chunk512", "tinyhead"):
+        env = dict(os.environ, CHECK="attn4k", ATTN_ARM=a)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            timeout=600, capture_output=True, text=True,
+        )
+        out = (r.stdout or "").strip().splitlines()
+        print(out[-1] if out else json.dumps(
+            {"bench": "attention_4k", f"{a}_ms": f"NO-OUTPUT rc={r.returncode}"}
+        ), flush=True)
+        time.sleep(8)  # HBM release before the next client
+
+
 def bench_flash_attention():
     """Attention shapes actually reached by this family:
     - flagship 64**2 num_attention=1: mid 2x2@512 (S=4, skip), down level 4
@@ -260,6 +318,47 @@ def bench_groupnorm_scan():
         }), flush=True)
 
 
+def bench_tinyhead_inloop(size=128, batch=8, steps=200):
+    """End-to-end effect of the tinyhead auto-on: the full sampling scan on
+    the zoo unet6 table at 128² (attention at S=256/1024 — the shapes where
+    the kernel measured 2.4-2.5x standalone; the flagship 64² family only
+    has S<=16 attention, which the kernel's gate skips). Arms: MDT_TINYHEAD
+    forced 0 (einsum) vs 1 (kernel), same model/params/latent."""
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.models.zoo import Model
+    from masked_diffusion_tpu.ops.schedule import build_schedule
+    from masked_diffusion_tpu.sample import make_sample_fn
+
+    cfg = Config(
+        method="mean_shift", data_size=size, ddpm_schedule="linear",
+        ddpm_num_steps=steps, select_degrade_pixel="thresholding",
+        degrade_channel="1-channel", mean_option="degraded_area",
+        mean_area="image-wise", shift_type="1-d_constant",
+        momentum_adaptive="base_momentum",
+        sampling_mask_dependency="independent", mixed_precision="bf16",
+    )
+    sched = build_schedule("linear", steps, size, "thresholding")
+    used = sched.timesteps_for_epoch(0, 10, 1)
+    model = Model("unet6", 3, size, size, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), x1, jnp.zeros((1,)))
+    latent = jnp.full((batch, size, size, 3), 0.1, jnp.float32)
+
+    out = {}
+    try:
+        for arm, env in (("einsum", "0"), ("tinyhead", "1")):
+            os.environ["MDT_TINYHEAD"] = env
+            fn = make_sample_fn(model, sched, cfg, used)
+            t = timeit(fn, params, latent, jax.random.PRNGKey(1), n=3)
+            out[f"{arm}_ms_per_step"] = round(t / len(used) * 1e3, 3)
+    finally:
+        os.environ.pop("MDT_TINYHEAD", None)
+    print(json.dumps({
+        "bench": "tinyhead_inloop", "model": "unet6", "size": size,
+        "batch": batch, "steps": int(len(used)), **out,
+    }), flush=True)
+
+
 def bench_encoder_reuse(size=64, batch=64, steps=200):
     """--encoder_reuse throughput + drift at the headline sampling config:
     ms/step for K in {exact, 2, 3} plus mean|exact - K| over the final
@@ -287,7 +386,15 @@ def bench_encoder_reuse(size=64, batch=64, steps=200):
                        num_attention=1, dtype=jnp.bfloat16)
     x1 = jnp.zeros((1, size, size, 3), jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), x1, jnp.zeros((1,)))
-    params = jax.tree.map(lambda p: p + 0.02, params)
+    # perturb per-tensor-scaled (a uniform +0.02 on every param — incl. norm
+    # scales through 6 levels — blows the forward up to NaN; measured r4)
+    leaves, treedef = jax.tree.flatten(params)
+    pkeys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [
+        l + 0.05 * (jnp.std(l) + 1e-3) * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, pkeys)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
     latent = jnp.full((batch, size, size, 3), 0.1, jnp.float32)
 
     out = {}
@@ -304,8 +411,10 @@ def bench_encoder_reuse(size=64, batch=64, steps=200):
         if exact_sample is None:
             exact_sample = s
         else:
-            out[f"{arm}_mean_abs_drift"] = round(
-                float(jnp.mean(jnp.abs(s - exact_sample))), 5)
+            drift = float(jnp.mean(jnp.abs(s - exact_sample)))
+            out[f"{arm}_mean_abs_drift"] = (
+                round(drift, 5) if np.isfinite(drift) else "NON-FINITE"
+            )
     print(json.dumps({
         "bench": "encoder_reuse_inloop", "size": size, "batch": batch,
         "steps": int(len(used)), **out,
@@ -343,10 +452,19 @@ def bench_feed(size=64, batch=64, n_data=1024, epochs=4):
             # train one epoch at a time so the compile epoch is separable
             trainer.train(0, 1)  # compile + warm
             t0 = time.perf_counter()
-            trainer.train(1, epochs - 1)
+            # train() bounds are range(first_epoch, num_epochs) — the second
+            # arg is the TOTAL epoch count, so this runs epochs-1 epochs
+            trainer.train(1, epochs)
             elapsed = time.perf_counter() - t0
             steps = (n_data // batch) * (epochs - 1)
             out[f"{arm}_steps_per_sec"] = round(steps / elapsed, 3)
+            # per-arm emission: the first r4 run wedged in the second arm's
+            # compile and the single end-of-bench print lost BOTH arms
+            print(json.dumps({
+                "bench": "feed_path", "size": size, "batch": batch,
+                "n_data": n_data, "arm": arm,
+                "steps_per_sec": out[f"{arm}_steps_per_sec"],
+            }), flush=True)
     finally:
         # never leak the forced feed mode into later CHECK sections
         os.environ.pop("MDT_DEVICE_DATA", None)
@@ -371,6 +489,10 @@ def main():
         bench_fused_standalone(select="indexing")
     if which in ("all", "attn"):
         bench_attention_scan()
+    if which == "attn4k":
+        bench_attention_4k()
+    if which == "attn_inloop":
+        bench_tinyhead_inloop()
     if which in ("all", "inloop"):
         bench_fused_inloop(schedule="linear", select="thresholding")
         bench_fused_inloop(schedule="log", select="indexing", steps=1000)

@@ -157,10 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
         "materialized-scores einsum, the measured-faster path at S <= 1024)",
     )
     p.add_argument(
-        "--tinyhead_attention", type=str2bool, default=False,
+        "--tinyhead_attention", type=str2bool, default=None,
         help="head-major Pallas flash attention for the family's 8-wide "
         "heads: VMEM-resident scores, zero lane padding; exact, falls back "
-        "to the einsum at S < 128 (ops/pallas/tinyhead_attention.py)",
+        "to the einsum at S < 128 (ops/pallas/tinyhead_attention.py). "
+        "Unset = AUTO: on for single-device TPU (measured 2.4-2.5x vs the "
+        "einsum at S=256/1024); true/false forces",
     )
     p.add_argument(
         "--encoder_reuse", type=int, default=0,

@@ -142,8 +142,10 @@ class Config:
     # head-major tiny-head flash attention (UNetConfig.tinyhead_attention,
     # ops/pallas/tinyhead_attention.py): VMEM-resident scores + zero lane
     # padding for the family's 8-wide heads; exact, falls back to the einsum
-    # at S < 128. Opt-in pending the TPU in-loop measurement.
-    tinyhead_attention: bool = False
+    # at S < 128. Measured 2.4-2.5x faster than the einsum at S=256/1024 on
+    # TPU (docs/PERFORMANCE.md "pallas verdicts" b2) — None = AUTO (on for
+    # single-device TPU; MDT_TINYHEAD=1/0 forces), True/False = explicit.
+    tinyhead_attention: Optional[bool] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # checkpoint retention: keep only the N newest checkpoint-epoch-* dirs
     # (0 = keep all, the reference behavior — its cadence saves accumulate

@@ -72,6 +72,8 @@ def build_unet(
         attn_up=attn_up,
         remat=remat,
         attention_chunk=attention_chunk or None,
-        tinyhead_attention=tinyhead_attention or None,
+        # tri-state: None = auto (single-device TPU), True/False = forced —
+        # pass through verbatim so an explicit False stays a force-off
+        tinyhead_attention=tinyhead_attention,
     )
     return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

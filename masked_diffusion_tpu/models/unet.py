@@ -159,6 +159,26 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+def _tinyhead_auto() -> bool:
+    """Resolve UNetConfig.tinyhead_attention=None (auto) at trace time.
+
+    Auto-on follows the measured verdict (docs/PERFORMANCE.md "pallas
+    verdicts" b2: 2.4-2.5x vs the einsum at S=256/1024): single-device TPU
+    only — pallas_call has no GSPMD partitioning rule, so any multi-device
+    run (DP/TP/SP meshes) stays on the einsum unless explicitly forced.
+    MDT_TINYHEAD=1/0 overrides (same convention as MDT_PALLAS_FUSED,
+    sample/loop.py:_use_fused_degrade). Called inside __call__ so the same
+    model object resolves per backend (CPU tests stay on the einsum)."""
+    import os
+
+    env = os.environ.get("MDT_TINYHEAD", "").lower()
+    if env in ("1", "true"):
+        return True
+    if env in ("0", "false"):
+        return False
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 class AttentionBlock(nn.Module):
     """Spatial self-attention over HW tokens with head_dim-partitioned heads.
 
@@ -341,8 +361,12 @@ class UNetConfig:
     # head-major tiny-head flash kernel (AttentionBlock.tiny_flash,
     # ops/pallas/tinyhead_attention.py): exact attention with scores
     # VMEM-resident and zero lane padding for the family's 8-wide heads.
-    # Opt-in pending the TPU measurement (project rule: auto-on needs an
-    # in-loop win on hardware); None resolves to off.
+    # Measured 2.4-2.5x faster than the einsum at S=256/1024 on the v5e
+    # (docs/PERFORMANCE.md "pallas verdicts" b2), so None = AUTO: on for
+    # single-device TPU runs (pallas_call has no GSPMD rule, so sharded
+    # meshes stay on the einsum), MDT_TINYHEAD=1/0 forces. True/False is an
+    # explicit override in either direction. Shapes outside the kernel's
+    # support (S < 128 or head_dim > 8) always fall back to the einsum.
     tinyhead_attention: Optional[bool] = None
 
     def __post_init__(self):
@@ -410,10 +434,18 @@ class UNet2D(nn.Module):
             norm_groups=cfg.norm_groups, norm_eps=cfg.norm_eps,
             pallas_norm=pallas_norm, **dtype_kw,
         )
+        if cfg.tinyhead_attention is None:
+            # auto never overrides an explicitly requested flash/chunk path
+            # (tiny_flash outranks both in AttentionBlock's routing)
+            tiny_flash = (
+                not flash and not cfg.attention_chunk and _tinyhead_auto()
+            )
+        else:
+            tiny_flash = bool(cfg.tinyhead_attention)
         attn_kw = dict(
             head_dim=cfg.attention_head_dim, flash=flash,
             chunk_q=cfg.attention_chunk,
-            tiny_flash=bool(cfg.tinyhead_attention or False),
+            tiny_flash=tiny_flash,
             **block_kw,
         )
         res_kw = dict(dropout=cfg.dropout, **block_kw)

@@ -146,6 +146,7 @@ def Model(
     cfg = dataclasses.replace(
         _zoo_config(name, data_channel, data_height, out_channel),
         remat=remat, attention_chunk=attention_chunk or None,
-        tinyhead_attention=tinyhead_attention or None,
+        # tri-state passthrough: None = auto, False = explicit force-off
+        tinyhead_attention=tinyhead_attention,
     )
     return UNet2D(config=cfg, dtype=dtype, param_dtype=param_dtype)

@@ -8,16 +8,22 @@
 #   bash benchmarks/tpu_playbook.sh            # everything
 #   bash benchmarks/tpu_playbook.sh gn attn    # just those sections
 #
-# Sections:
-#   trace  - benchmarks/trace_train.py: per-op attribution of the train
-#            step's roofline gap (VERDICT r03 #8)
-#   gn     - CHECK=gn check_fused_tpu.py: multi-image GroupNorm retry verdict
-#   attn   - CHECK=attn check_fused_tpu.py: tinyhead kernel vs einsum/flash/
-#            chunk at S=256/1024/4096 (+ the pending chunk-vs-flash verdict)
-#   reuse  - CHECK=reuse check_fused_tpu.py: encoder-reuse throughput/drift
-#   feed   - CHECK=feed check_fused_tpu.py: host-fed vs device-resident
-#            batch feeding through the Trainer epoch loop
-#   bench  - bench.py end-to-end sanity (the driver's round record path)
+# Sections (round-4b queue — gn/attn landed in the first r4 run:
+# gn LOSES again, tinyhead WINS 2.4-2.5x, docs/PERFORMANCE.md):
+#   trace  - benchmarks/trace_train.py: per-op attribution (VERDICT r03 #8).
+#            RE-RUN: the first cut triple-counted xplane lines
+#   attn4k - CHECK=attn4k: S=4096 escape-hatch ranking, one arm per process
+#            (a RESOURCE_EXHAUSTED poisons the shared client — all four
+#            arms failed together in the first run)
+#   attn_inloop - CHECK=attn_inloop: tinyhead auto-on end-to-end at 128²
+#            unet6 (the standalone 2.4-2.5x win, measured in the real scan)
+#   reuse  - CHECK=reuse: encoder-reuse throughput/drift. RE-RUN: the first
+#            cut's uniform +0.02 param perturbation made the forward NaN
+#   feed   - CHECK=feed: host-fed vs device-resident batch feeding. RE-RUN:
+#            first run hit the 900s budget with output only at the end
+#   bench  - bench.py end-to-end (the driver's round record path). RE-RUN:
+#            the indexing+log section crashed on the fused kernel's cumsum
+#            (no Mosaic lowering; fixed by the composite-key exact-k)
 
 set -u
 cd "$(dirname "$0")/.."
@@ -48,18 +54,26 @@ run() {  # run <name> <budget_s> <cmd...>
 }
 
 ARGS=("$@")
-for SEC in trace gn attn reuse feed bench; do
+for SEC in trace attn4k attn_inloop reuse feed bench gn attn; do
   case " ${ARGS[*]:-} " in
-    "  ") ;;                           # no filter: run all
+    "  ") ;;                           # no filter: run all (gn/attn landed —
+                                       # only by explicit request)
     *" $SEC "*) ;;                     # requested
     *) continue ;;
+  esac
+  case $SEC in
+    gn|attn)
+      # verdicts already recorded in docs/results_r4 — explicit only
+      case " ${ARGS[*]:-} " in *" $SEC "*) ;; *) continue ;; esac ;;
   esac
   case $SEC in
     trace) run trace 900 python benchmarks/trace_train.py ;;
     gn)    run gn 900 env CHECK=gn python benchmarks/check_fused_tpu.py ;;
     attn)  run attn 1800 env CHECK=attn python benchmarks/check_fused_tpu.py ;;
+    attn4k) run attn4k 2700 env CHECK=attn4k python benchmarks/check_fused_tpu.py ;;
+    attn_inloop) run attn_inloop 1200 env CHECK=attn_inloop python benchmarks/check_fused_tpu.py ;;
     reuse) run reuse 900 env CHECK=reuse python benchmarks/check_fused_tpu.py ;;
-    feed)  run feed 900 env CHECK=feed python benchmarks/check_fused_tpu.py ;;
+    feed)  run feed 1500 env CHECK=feed python benchmarks/check_fused_tpu.py ;;
     bench) run bench 700 python bench.py ;;
   esac
 done

@@ -25,10 +25,11 @@ image-wise or const, 1-channel masks, independent dependency): everything
 else falls back to the XLA path in sample/loop.py. Masks are
 distribution-identical but not stream-equal to the jax.random path (same
 caveat as ops/pallas/kmask.py; runs remain seed-deterministic per backend).
-Indexing keeps the EXACT-k degraded-count contract including tied uint32
-draws — exact_k_degrade adds a cumsum tie-correction pass mirroring
-ops/degrade.py:masks_from_uniforms (the bare bit-scan threshold alone would
-under-degrade by the tie deficit, ~hw²/2³³ per image-step).
+Indexing keeps the EXACT-k degraded-count contract including tied draws —
+exact_k_degrade makes the scan keys unique by splicing the lane index into
+the low bits (the bare bit-scan threshold alone would under-degrade by the
+tie deficit, ~hw²/2³³ per image-step; a post-hoc cumsum correction has no
+Mosaic lowering).
 
 Layout: images enter as (B, C*HW) rows in channel-major order
 (NHWC -> transpose to NCHW -> reshape), so a block of 8 images fills all 8
@@ -65,8 +66,8 @@ def rowwise_kth_threshold(bits, k):
 
     When draws TIE at the boundary value T, count(row < T) < k: thresholding
     on `< T` alone under-degrades by the tie deficit (~N²/2³³ per row expected
-    — rare but nonzero). exact_k_degrade below adds the tie-correction pass;
-    use that for the exact-k contract."""
+    — rare but nonzero). exact_k_degrade below de-duplicates the keys up
+    front; use that for the exact-k contract."""
 
     def bit_step(b, t):
         cand = t | (jnp.uint32(1) << (31 - b))
@@ -80,19 +81,32 @@ def rowwise_kth_threshold(bits, k):
 
 def exact_k_degrade(bits, k):
     """Per-row boolean degrade-set of EXACTLY k[row] pixels: the k smallest
-    uint32 draws, boundary ties broken by lane order. The cumsum pass mirrors
-    ops/degrade.py:masks_from_uniforms' tie correction so the fused path keeps
-    the XLA path's exact-count contract even on tied draws (advisor r03).
+    draws, boundary ties broken by lane order (the same law as
+    ops/degrade.py:masks_from_uniforms' cumsum tie correction, advisor r03).
+
+    Ties are removed up FRONT instead of corrected after: the low
+    ceil(log2(N)) bits of every draw are overwritten with the lane index, so
+    composite keys are unique per row and one greedy 32-pass scan selects
+    exactly k — no cumsum pass (Mosaic has no cumsum lowering for the TC
+    kernel type; a post-hoc cumsum correction crashed the r4 TPU bench).
+    Cost: zero extra passes. Distribution: "k smallest by (top
+    32-log2(N) random bits, lane order)" — groups tied in their top bits
+    break toward low lanes, a per-pixel inclusion bias of O(2^-(32-log2 N))
+    (~2^-20 at 64²), far below the already-documented PRNG-stream deviation
+    from the XLA path and the same lane-order law its tie-break applies.
 
     bits: (R, N) uint32, k: (R, 1) int32 in [0, N]. Returns (R, N) bool.
     """
-    thr = rowwise_kth_threshold(bits, k)
-    below = bits < thr
-    cnt = jnp.sum(below.astype(jnp.int32), axis=1, keepdims=True)
-    deficit = k - cnt  # >= 0; maximality of thr guarantees >= deficit ties
-    eq = bits == thr
-    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=1)  # 1-based among ties
-    return below | (eq & (tie_rank <= deficit))
+    n = bits.shape[1]
+    lane_bits = max(1, (n - 1).bit_length())
+    hi = jnp.uint32((0xFFFFFFFF << lane_bits) & 0xFFFFFFFF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1).astype(jnp.uint32)
+    keys = (bits & hi) | lane
+    thr = rowwise_kth_threshold(keys, k)
+    # strict `< thr` can never select a key equal to the max uint32, so
+    # k == N (the schedule's forced last step degrades EVERY pixel,
+    # scheduler.py:55) is handled explicitly
+    return (keys < thr) | (k >= n)
 
 
 def fused_rows(

@@ -152,3 +152,77 @@ class TestModuleRouting:
             np.asarray(blk.apply(params, x)),
             np.asarray(blk_tiny.apply(params, x)),
         )
+
+
+class TestAutoResolution:
+    """tinyhead_attention=None (the default) resolves per backend at trace
+    time — the r4 measured win (docs/PERFORMANCE.md b2) makes single-device
+    TPU auto-ON; everything else stays on the einsum unless forced."""
+
+    def test_tinyhead_auto_env_and_backend(self, monkeypatch):
+        import jax as jax_mod
+
+        from masked_diffusion_tpu.models.unet import _tinyhead_auto
+
+        monkeypatch.delenv("MDT_TINYHEAD", raising=False)
+        assert not _tinyhead_auto()  # CPU test backend
+        monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax_mod, "device_count", lambda: 1)
+        assert _tinyhead_auto()
+        monkeypatch.setattr(jax_mod, "device_count", lambda: 8)
+        assert not _tinyhead_auto()  # no GSPMD rule for pallas_call
+        # env force wins in both directions
+        monkeypatch.setenv("MDT_TINYHEAD", "1")
+        assert _tinyhead_auto()
+        monkeypatch.setattr(jax_mod, "device_count", lambda: 1)
+        monkeypatch.setenv("MDT_TINYHEAD", "0")
+        assert not _tinyhead_auto()
+
+    def test_factory_preserves_explicit_false(self):
+        """`--tinyhead_attention false` must stay a force-off, not collapse
+        to None/auto (the r3 `or None` coercion would have)."""
+        from masked_diffusion_tpu.models import build_unet
+        from masked_diffusion_tpu.models.zoo import Model
+
+        m = build_unet(dim_channel=3, dim_height=32, dim_width=32,
+                       num_attention=1, block_out_channels=(8, 16),
+                       tinyhead_attention=False)
+        assert m.config.tinyhead_attention is False
+        m2 = build_unet(dim_channel=3, dim_height=32, dim_width=32,
+                        num_attention=1, block_out_channels=(8, 16))
+        assert m2.config.tinyhead_attention is None
+        z = Model("unet6", 3, 32, 32, tinyhead_attention=False)
+        assert z.config.tinyhead_attention is False
+
+    def test_auto_resolves_inside_call(self, monkeypatch):
+        """End-to-end through UNet2D: config None + MDT_TINYHEAD=1 (+ the
+        CPU interpret hook) routes attention through the kernel; =0 stays on
+        the einsum. Same params; outputs match to bf16-matmul tolerance and
+        DIFFER bitwise (proving the kernel actually engaged)."""
+        import jax as jax_mod
+
+        from masked_diffusion_tpu.models import build_unet
+
+        monkeypatch.setenv("MDT_TINYHEAD_INTERPRET", "1")
+        m = build_unet(dim_channel=3, dim_height=32, dim_width=32,
+                       num_attention=1, block_out_channels=(8, 16))
+        assert m.config.tinyhead_attention is None
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 32, 32, 3)), jnp.float32
+        )
+        t = jnp.zeros((2,), jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), x, t)
+        # conv_out is ZERO-init (the unet6 convention): the whole model
+        # output at init is 0 regardless of the attention path — give it
+        # weight so the two attention routes are observable at the output
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, p: p + 0.05 if "conv_out" in str(path) else p, params
+        )
+        monkeypatch.setenv("MDT_TINYHEAD", "0")
+        y_einsum = m.apply(params, x, t)
+        monkeypatch.setenv("MDT_TINYHEAD", "1")
+        y_kernel = m.apply(params, x, t)
+        np.testing.assert_allclose(
+            np.asarray(y_einsum), np.asarray(y_kernel), atol=3e-2, rtol=3e-2
+        )
+        assert not np.array_equal(np.asarray(y_einsum), np.asarray(y_kernel))

@@ -109,22 +109,31 @@ def device_op_durations(xspace) -> tuple[dict[str, float], float]:
 # ------------------------------------------------------------- attribution
 
 _COMPONENT_RULES = [
-    # order matters: first match wins
+    # order matters: first match wins. Matched against the leading HLO
+    # identifier only ("%convert_reduce_fusion.4 = ..." -> the identifier
+    # "convert_reduce_fusion") — matching the whole HLO line let "convert"
+    # satisfy /conv/ and put GN-stats reduces in the conv bucket (r4 first
+    # cut). NOTE most TPU leaf events are "fusion.N" whose kind is not in
+    # the name; deep per-op attribution needs the HLO module mapping —
+    # the 'fusion/other' bucket is honest, not lazy.
     ("optimizer/ema", re.compile(r"adam|ema|clip|global_norm|multi_steps", re.I)),
     ("degrade/masks", re.compile(r"sort|kmask|degrade|threshold_count|iota", re.I)),
-    ("attention", re.compile(r"attn|attention|softmax", re.I)),
-    ("conv/matmul", re.compile(r"conv|dot|matmul|einsum", re.I)),
+    ("attention", re.compile(r"attn|attention|softmax|flash", re.I)),
+    ("conv/matmul", re.compile(r"convolution|^dot\b|dot\.|matmul|einsum", re.I)),
     ("norm/stats", re.compile(r"group_norm|groupnorm|norm|variance|reduce", re.I)),
-    ("copies/layout", re.compile(r"^copy|transpose|reshape|bitcast|pad|slice", re.I)),
+    ("copies/layout", re.compile(
+        r"^(copy|transpose|reshape|bitcast|pad|slice|dynamic-slice|"
+        r"dynamic-update-slice|convert)", re.I)),
     ("collectives", re.compile(r"all-reduce|all-gather|reduce-scatter|psum", re.I)),
 ]
 
 
 def component_of(op_name: str) -> str:
+    ident = op_name.lstrip("%").split(" ", 1)[0].split("=", 1)[0]
     for comp, rx in _COMPONENT_RULES:
-        if rx.search(op_name):
+        if rx.search(ident):
             return comp
-    if op_name.startswith(("fusion", "loop_fusion", "input_fusion")):
+    if ident.startswith(("fusion", "loop_fusion", "input_fusion", "while")):
         return "fusion/other"
     return "other"
 

@@ -27,6 +27,16 @@ Sections, in priority order:
      Pallas degrade+update kernel auto-on → `extra.indexing_log`.
   3. training — flagship jitted train step steps/sec.
 
+Fitting all three in the budget (the r4 failure mode was exactly one
+section fitting): the two extra sections' programs are WARMED UP (compile +
+first run) in parallel daemon threads as soon as the headline record is
+emitted — their tunneled XLA compiles (~100-250 s each) overlap instead of
+serializing — and the timed bursts then run serialized on the main thread.
+The indexing_log scan is also shortened to BENCH_IDX_SCAN_STEPS (default
+200) steps of the full deduped T=4096 table: ms/step is scan-length
+invariant (the in-loop playbook arms rely on the same law), and the full
+1421-step run would add ~40 s of pure repetition.
+
 Prints JSON lines; the LAST one is the round record:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
 """
@@ -182,7 +192,11 @@ def main() -> int:
     wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", 120))
     probe_ok = None
     short_fuse = None
-    if wait_s > 0 and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    forced_cpu = (
+        os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+        or os.environ.get("MDT_PLATFORM", "").lower() == "cpu"
+    )
+    if wait_s > 0 and not forced_cpu:
         try:
             probe_ok = _wait_for_tpu(min(wait_s, max(_remaining() - 120, 0)))
         except Exception:
@@ -201,6 +215,11 @@ def main() -> int:
             # budgets. Whichever watchdog fires first wins (os._exit).
             result["extra"]["stage"] = "tpu-unreachable"
             short_fuse = emitter.install_watchdog(90)
+
+    if os.environ.get("MDT_PLATFORM"):  # CPU plumbing tests (CLAUDE.md)
+        from masked_diffusion_tpu.utils.platform import force_platform
+
+        force_platform(os.environ["MDT_PLATFORM"])
 
     import jax
 
@@ -289,15 +308,14 @@ def main() -> int:
         f"sampled images/sec/chip ({steps}-step masked DDPM, "
         f"{data_size}x{data_size}, bf16)"
     )
+    # setup cost (probe + backend init + model init) is the headline's hidden
+    # prefix — recorded so a skipped-section round is diagnosable from JSON
+    extra["setup_sec"] = round(time.monotonic() - START, 1)
     result["extra"] = extra
     # backend is up and the model built: a kill during the long scan compile
     # now leaves `parsed != null` with the backend recorded (round 3 left
     # nothing)
     emitter.emit(result)
-
-    # conservative prior for a tunneled flagship-scan compile; replaced by the
-    # measured value after the headline section (BENCH_r02: 243s incl. first run)
-    est_scan_compile = float(os.environ.get("BENCH_EST_COMPILE_S", 270))
 
     # ---------------------------------------------------------------- headline
     # always attempt: a mid-compile kill leaves the provisional line, which is
@@ -307,7 +325,6 @@ def main() -> int:
     t0 = time.perf_counter()
     jax.block_until_ready(sample_fn(params, latent, jax.random.PRNGKey(1)))
     compile_plus_first = time.perf_counter() - t0
-    est_scan_compile = compile_plus_first
 
     times = []
     for i in range(repeats):
@@ -328,70 +345,146 @@ def main() -> int:
     emitter.emit(result)
     del sample_fn, latent
 
-    # ------------------------------------------------------------ indexing+log
-    # round-3's engineering target: reference-default mode with the fused
-    # Pallas degrade+update (ops/pallas/fused_degrade.py) auto-on — captured
-    # in the driver record instead of docs-only (VERDICT r03 next-step 2)
-    run_est = 0.02 * idx_steps + 15
-    if _remaining() > 1.1 * est_scan_compile + run_est:
-        from masked_diffusion_tpu.sample.loop import _use_fused_degrade
+    # ------------------------- extra sections: indexing+log and training
+    # Both have compile-dominated cost (~100-250 s each over the tunnel), so
+    # their warmups (compile + one real run) execute in parallel daemon
+    # threads; the timed bursts then run serialized on the main thread in
+    # completion order. BENCH_EXTRA_PARALLEL=0 falls back to sequential.
+    import threading
 
-        idx_cfg, idx_sched, idx_used = make_cfg("log", "indexing", idx_steps)
-        idx_fn = make_sample_fn(model, idx_sched, idx_cfg, idx_used)
-        latent = jnp.full((batch, data_size, data_size, 3), 0.1, jnp.float32)
+    from masked_diffusion_tpu.sample.loop import _use_fused_degrade
+
+    parallel_extras = os.environ.get(
+        "BENCH_EXTRA_PARALLEL", "1"
+    ).lower() not in ("0", "false")
+    idx_scan_steps = int(os.environ.get("BENCH_IDX_SCAN_STEPS", 200))
+
+    # indexing_log program: reference-default mode (indexing, main_train_
+    # masked.py:395) at the celeba workload's T=4096 log schedule — the mode
+    # where the fused Pallas degrade+update kernel is auto-on. The scan is a
+    # contiguous tail slice of the deduped table (ms/step is what's measured;
+    # the per-step program does not depend on which t it runs at).
+    idx_cfg, idx_sched, idx_used_full = make_cfg("log", "indexing", idx_steps)
+    n_idx_full = len(idx_used_full)
+    idx_used = idx_used_full[-min(idx_scan_steps, n_idx_full):]
+    idx_fn = make_sample_fn(model, idx_sched, idx_cfg, idx_used)
+    idx_latent = jnp.full((batch, data_size, data_size, 3), 0.1, jnp.float32)
+
+    # training program: flagship jitted step (fwd+bwd+optax+EMA), donate so
+    # the ~2.3 GB fp32 state updates in place — as in Trainer
+    lr = build_lr_schedule("cosine", 1e-4, 0, 1000)
+    tx = build_optimizer("adamw", lr, 1.0)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (batch, data_size, data_size, 3), tx
+    )
+    step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=True)
+    batch_data = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            -1, 1, (batch, data_size, data_size, 3)
+        ),
+        jnp.float32,
+    )
+
+    warm: dict = {}
+
+    def warm_idx():
         t0 = time.perf_counter()
-        jax.block_until_ready(idx_fn(params, latent, jax.random.PRNGKey(11)))
-        idx_compile_plus_first = time.perf_counter() - t0
+        jax.block_until_ready(idx_fn(params, idx_latent, jax.random.PRNGKey(11)))
+        warm["idx_compile_plus_first_sec"] = time.perf_counter() - t0
+
+    def warm_train():
         t0 = time.perf_counter()
-        jax.block_until_ready(idx_fn(params, latent, jax.random.PRNGKey(12)))
+        s, _ = step_fn(state, batch_data, jax.random.PRNGKey(3))
+        jax.block_until_ready(s.params)
+        warm["train_state"] = s  # `state` was donated by the warm call
+        warm["train_compile_plus_first_sec"] = time.perf_counter() - t0
+
+    def run_idx_burst():
+        t0 = time.perf_counter()
+        jax.block_until_ready(idx_fn(params, idx_latent, jax.random.PRNGKey(12)))
         idx_time = time.perf_counter() - t0
-        n_idx = len(idx_used)
+        ms_per_step = idx_time / len(idx_used) * 1e3
         extra["indexing_log"] = {
             "requested_steps": idx_steps,
-            "actual_steps": n_idx,
-            "ms_per_step": round(idx_time / n_idx * 1e3, 3),
-            "images_per_sec": round(batch / idx_time, 4),
+            "deduped_steps": n_idx_full,
+            "scan_steps": int(len(idx_used)),
+            "ms_per_step": round(ms_per_step, 3),
+            # full-table throughput law: batch images per deduped-T reverse pass
+            "images_per_sec": round(batch / (ms_per_step * n_idx_full / 1e3), 4),
             "fused_pallas_degrade": _use_fused_degrade(
                 idx_cfg, "independent", "base_momentum", False
             ),
-            "compile_plus_first_sec": round(idx_compile_plus_first, 1),
+            "compile_plus_first_sec": round(
+                warm.get("idx_compile_plus_first_sec", 0.0), 1
+            ),
         }
         extra["indexing_log_ms_per_step"] = extra["indexing_log"]["ms_per_step"]
         extra["sections"].append("indexing_log")
-        emitter.emit(result)
-        del idx_fn, latent
-    else:
-        extra["skipped"].append("indexing_log")
 
-    # ---------------------------------------------------------------- training
-    if _remaining() > 1.1 * est_scan_compile + 20:
-        lr = build_lr_schedule("cosine", 1e-4, 0, 1000)
-        tx = build_optimizer("adamw", lr, 1.0)
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), (batch, data_size, data_size, 3), tx
-        )
-        # donate: the state (params+EMA+opt moments, ~2.3GB fp32) updates in
-        # place instead of allocating fresh buffers every step — as in Trainer
-        step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=True)
-        batch_data = jnp.asarray(
-            np.random.default_rng(0).uniform(
-                -1, 1, (batch, data_size, data_size, 3)
-            ),
-            jnp.float32,
-        )
-        state, _ = step_fn(state, batch_data, jax.random.PRNGKey(3))  # compile
-        jax.block_until_ready(state.params)
+    def run_train_burst():
+        s = warm["train_state"]
         n_train = 10
         t0 = time.perf_counter()
         for i in range(n_train):
-            state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(4 + i))
-        jax.block_until_ready(state.params)
+            s, metrics = step_fn(s, batch_data, jax.random.PRNGKey(4 + i))
+        jax.block_until_ready(s.params)
         train_steps_per_sec = n_train / (time.perf_counter() - t0)
         extra["train_steps_per_sec"] = round(train_steps_per_sec, 3)
         extra["train_imgs_per_sec"] = round(train_steps_per_sec * batch, 1)
+        extra["train_compile_plus_first_sec"] = round(
+            warm.get("train_compile_plus_first_sec", 0.0), 1
+        )
         extra["sections"].append("training")
+        warm["train_state"] = s
+
+    sections = [
+        ("training", warm_train, run_train_burst, "train_state"),
+        ("indexing_log", warm_idx, run_idx_burst, "idx_compile_plus_first_sec"),
+    ]
+    if parallel_extras:
+        threads = {
+            name: threading.Thread(target=w, daemon=True, name=f"warm-{name}")
+            for name, w, _, _ in sections
+        }
+        for t in threads.values():
+            t.start()
+        pending = {name: (run, key) for name, _, run, key in sections}
+        # run each section's timed burst as soon as its warmup lands; give up
+        # on whatever is still compiling when the budget runs out (it stays
+        # in `skipped` and the daemon thread dies with the process)
+        while pending and _remaining() > 15:
+            for name in list(pending):
+                t = threads[name]
+                if t.is_alive():
+                    continue
+                run, key = pending.pop(name)
+                if key in warm:  # warmup succeeded (thread exceptions skip it)
+                    try:
+                        run()
+                        emitter.emit(result)
+                    except Exception as e:
+                        extra["skipped"].append(name)
+                        extra[f"{name}_error"] = (
+                            f"{type(e).__name__}: {str(e)[:120]}"
+                        )
+                else:
+                    extra["skipped"].append(name)
+            if pending:
+                time.sleep(0.5)
+        extra["skipped"].extend(sorted(pending))
     else:
-        extra["skipped"].append("training")
+        est = max(compile_plus_first, 120.0)
+        for name, w, run, key in sections:
+            if _remaining() < 1.1 * est + 20:
+                extra["skipped"].append(name)
+                continue
+            try:
+                w()
+                run()
+                emitter.emit(result)
+            except Exception as e:
+                extra["skipped"].append(name)
+                extra[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:120]}"
 
     extra["stage"] = "done"
     extra["total_sec"] = round(time.monotonic() - START, 1)

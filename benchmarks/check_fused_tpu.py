@@ -220,16 +220,30 @@ def bench_attention_4k():
         }), flush=True)
         return
 
-    for a in ("einsum", "flash", "chunk512", "tinyhead"):
+    # tinyhead/chunk512 first (the rows PERFORMANCE.md is missing), the
+    # expected-to-fail einsum last; a per-arm TimeoutExpired is itself a
+    # verdict and must not kill the remaining arms (r4: the first child's
+    # 600 s timeout propagated and the whole section died with one line)
+    for a, arm_timeout in (
+        ("tinyhead", 420), ("chunk512", 420), ("flash", 420), ("einsum", 300)
+    ):
         env = dict(os.environ, CHECK="attn4k", ATTN_ARM=a)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            timeout=600, capture_output=True, text=True,
-        )
-        out = (r.stdout or "").strip().splitlines()
-        print(out[-1] if out else json.dumps(
-            {"bench": "attention_4k", f"{a}_ms": f"NO-OUTPUT rc={r.returncode}"}
-        ), flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=arm_timeout, capture_output=True, text=True,
+            )
+            out = (r.stdout or "").strip().splitlines()
+            line = out[-1] if out else json.dumps(
+                {"bench": "attention_4k",
+                 f"{a}_ms": f"NO-OUTPUT rc={r.returncode}"}
+            )
+        except subprocess.TimeoutExpired:
+            line = json.dumps(
+                {"bench": "attention_4k", f"{a}_ms": f"TIMEOUT>{arm_timeout}s"}
+            )
+            time.sleep(12)  # the killed child's HBM takes longer to release
+        print(line, flush=True)
         time.sleep(8)  # HBM release before the next client
 
 

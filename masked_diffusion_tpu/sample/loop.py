@@ -182,6 +182,9 @@ def make_sample_fn(
         cfg, dependency, rule, capture_trajectory, pallas_mesh
     )
     if use_fused:
+        # one host-side line so production logs confirm which degrade path
+        # a run actually sampled with (VERDICT r4 #4 evidence contract)
+        print("sampler: fused pallas degrade+update kernel ON", flush=True)
         from masked_diffusion_tpu.config import parse_mean_option
         from masked_diffusion_tpu.ops.pallas.fused_degrade import (
             fused_degrade_update,

@@ -488,12 +488,57 @@ def bench_feed(size=64, batch=64, n_data=1024, epochs=4):
     }), flush=True)
 
 
+def bench_epoch_scan(size=64, batch=64, n_data=1024, epochs=4):
+    """Per-step loop vs whole-epoch lax.scan through the REAL Trainer
+    (trainer._use_epoch_scan -> train/step.py:make_train_epoch), both on the
+    device-resident feed: steps/s at the flagship training shape. The scan
+    removes the per-step host dispatch the r4 trace showed sitting between
+    roofline-saturated device steps. Epoch 1 pays the compile; 2+ timed."""
+    import numpy as np
+
+    from masked_diffusion_tpu.config import Config
+    from masked_diffusion_tpu.data.datasets import InMemoryDataset, make_synthetic
+    from masked_diffusion_tpu.train.trainer import Trainer
+
+    data, labels = make_synthetic(n_data, size, seed=0, channels=3)
+    try:
+        os.environ["MDT_DEVICE_DATA"] = "1"
+        for arm, env in (("step_loop", "0"), ("epoch_scan", "1")):
+            os.environ["MDT_EPOCH_SCAN"] = env
+            cfg = Config(
+                method="mean_shift", data_name="synthetic", data_size=size,
+                batch_size=batch, num_epochs=epochs, ddpm_schedule="linear",
+                ddpm_num_steps=200, select_degrade_pixel="thresholding",
+                degrade_channel="1-channel", mean_option="degraded_area",
+                mean_area="image-wise", shift_type="1-d_constant",
+                mixed_precision="bf16", use_ema=True, use_wandb=False,
+                lr=1e-4, lr_scheduler="constant", lr_warmup_steps=0,
+                save_images_epochs=10**9,
+            )
+            trainer = Trainer(cfg, InMemoryDataset(data, labels))
+            trainer.train(0, 1)  # compile + warm
+            t0 = time.perf_counter()
+            trainer.train(1, epochs)  # total-epoch semantics: epochs-1 more
+            elapsed = time.perf_counter() - t0
+            steps = (n_data // batch) * (epochs - 1)
+            print(json.dumps({
+                "bench": "epoch_scan", "size": size, "batch": batch,
+                "n_data": n_data, "arm": arm,
+                "steps_per_sec": round(steps / elapsed, 3),
+            }), flush=True)
+    finally:
+        os.environ.pop("MDT_EPOCH_SCAN", None)
+        os.environ.pop("MDT_DEVICE_DATA", None)
+
+
 def main():
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
     which = os.environ.get("CHECK", "all")
     if which == "feed":
         bench_feed()
+    if which == "scan":
+        bench_epoch_scan()
     if which == "reuse":
         bench_encoder_reuse()
     if which == "gn":

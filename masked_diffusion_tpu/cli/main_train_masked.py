@@ -165,6 +165,14 @@ def build_parser() -> argparse.ArgumentParser:
         "einsum at S=256/1024); true/false forces",
     )
     p.add_argument(
+        "--epoch_scan", type=str2bool, default=None,
+        help="train each epoch as ONE compiled lax.scan over its batches "
+        "(device-resident data required; removes the per-step host dispatch "
+        "between roofline-saturated device steps). Unset = AUTO (on for TPU "
+        "when device data is in use); true/false forces. Single-host SIGTERM "
+        "preemption coarsens to epoch granularity while on",
+    )
+    p.add_argument(
         "--encoder_reuse", type=int, default=0,
         help="sampling-only: run the UNet encoder every K-th reverse step "
         "and replay its cached activations between (Faster Diffusion, "

@@ -146,6 +146,15 @@ class Config:
     # TPU (docs/PERFORMANCE.md "pallas verdicts" b2) — None = AUTO (on for
     # single-device TPU; MDT_TINYHEAD=1/0 forces), True/False = explicit.
     tinyhead_attention: Optional[bool] = None
+    # whole-epoch lax.scan training (train/step.py:make_train_epoch): one
+    # compiled program per epoch scans the step over the epoch's batch-index
+    # rows with in-scan device gathers, removing the per-step host dispatch
+    # the r4 trace showed sitting between the device's 100%-of-roofline step
+    # executions. Requires the device-resident data path; single-host SIGTERM
+    # preemption coarsens from per-batch to per-epoch while it's on.
+    # None = AUTO (on for TPU when device data is in use; MDT_EPOCH_SCAN=1/0
+    # forces), True/False = explicit.
+    epoch_scan: Optional[bool] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # checkpoint retention: keep only the N newest checkpoint-epoch-* dirs
     # (0 = keep all, the reference behavior — its cadence saves accumulate

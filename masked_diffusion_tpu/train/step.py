@@ -92,6 +92,26 @@ def make_train_step(
     kernel eligible for multi-chip DP training at 128²+ (shard_mapped per
     shard — ops/degrade.py:generate_masks). DP-only: ignored under SP.
     """
+    step_fn = _make_step_impl(
+        model, schedule, cfg, tx, used_timesteps, lr_schedule,
+        activation_sharding, mesh,
+    )
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def _make_step_impl(
+    model,
+    schedule: MaskSchedule,
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    used_timesteps: np.ndarray,
+    lr_schedule: Optional[Callable] = None,
+    activation_sharding=None,
+    mesh=None,
+) -> Callable:
+    """The un-jitted step body, shared by make_train_step (one jit per call)
+    and make_train_epoch (a lax.scan over the epoch's batches)."""
     used_dev = jnp.asarray(used_timesteps, dtype=jnp.int32)
     n_used = int(len(used_timesteps))
     mean_shift = cfg.method == "mean_shift"
@@ -194,8 +214,65 @@ def make_train_step(
         )
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_epoch(
+    model,
+    schedule: MaskSchedule,
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    used_timesteps: np.ndarray,
+    lr_schedule: Optional[Callable] = None,
+    donate: bool = True,
+    activation_sharding=None,
+    mesh=None,
+    batch_sharding=None,
+) -> Callable:
+    """A whole epoch as ONE compiled program: lax.scan of the train step over
+    the epoch's batch-index rows, gathering each batch from the
+    device-resident dataset inside the scan.
+
+    Why: the r4 trace attribution (benchmarks/trace_train.py) showed the
+    per-step jit executing AT the HBM roofline (~51 ms device) while the wall
+    clock pays ~6-14 ms/step of host dispatch over the tunnel — with one
+    dispatch per EPOCH that gap disappears entirely. The reference has no
+    analog (its loop crosses the host every batch,
+    trainer_masked_mean_shift.py:82-193).
+
+    Signature: epoch_fn(state, data, sel, key) -> (state, key, metrics_stack)
+      data: (N, H, W, C) device-resident dataset (Trainer._gather_batch's
+            array), sel: (n_batches, batch_size) int32 index rows,
+      key:  the epoch's data_key; the body splits it exactly like the loop
+            (`data_key, step_key = jax.random.split(data_key)` per batch), so
+            the step-key stream is IDENTICAL to the per-step path and resume
+            replay semantics carry over unchanged.
+    metrics_stack is a dict of (n_batches,) arrays — the same stacked layout
+    the trainer already fetches once per epoch.
+    """
+    step_fn = _make_step_impl(
+        model, schedule, cfg, tx, used_timesteps, lr_schedule,
+        activation_sharding, mesh,
+    )
+
+    def epoch_fn(state: TrainState, data: Array, sel: Array, key: Array):
+        def body(carry, sel_i):
+            st, k = carry
+            k, step_key = jax.random.split(k)
+            batch = jnp.take(data, sel_i, axis=0)
+            if batch_sharding is not None:
+                # pin the gathered batch to the step's batch layout (the
+                # loop path gets this from _gather_batch's out_shardings);
+                # without it GSPMD is free to run the whole step replicated
+                batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+            st, metrics = step_fn(st, batch, step_key)
+            return (st, k), metrics
+
+        (state, key), metrics = jax.lax.scan(body, (state, key), sel)
+        return state, key, metrics
+
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    return jax.jit(epoch_fn, donate_argnums=donate_argnums)
 
 
 def make_train_visuals_fn(

@@ -170,6 +170,7 @@ class Trainer:
         self.state = self._place_state(self.state)
 
         self._step_cache: Dict[tuple, callable] = {}
+        self._epoch_cache: Dict[tuple, callable] = {}
         self._sample_cache: Dict[tuple, callable] = {}
         self._visuals_cache: Dict[tuple, callable] = {}
         self._interp_cache: Dict[tuple, callable] = {}
@@ -263,6 +264,42 @@ class Trainer:
                 mesh=self.mesh_plan.mesh if self.mesh_plan is not None else None,
             )
         return self._step_cache[key]
+
+    def _get_epoch_fn(self, used: np.ndarray, n_batches: int):
+        key = (tuple(int(t) for t in used), int(n_batches))
+        if key not in self._epoch_cache:
+            from masked_diffusion_tpu.train.step import make_train_epoch
+
+            self._epoch_cache[key] = make_train_epoch(
+                self.model, self.schedule, self.cfg, self.tx, used,
+                self.lr_schedule,
+                activation_sharding=(
+                    self._batch_sharding() if self.cfg.mesh_spatial else None
+                ),
+                mesh=self.mesh_plan.mesh if self.mesh_plan is not None else None,
+                batch_sharding=(
+                    self._batch_sharding() if self.mesh_plan is not None else None
+                ),
+            )
+        return self._epoch_cache[key]
+
+    def _use_epoch_scan(self) -> bool:
+        """Whole-epoch lax.scan training (train/step.py:make_train_epoch):
+        one program per epoch instead of one dispatch per step. The caller
+        additionally requires the device-resident data path (the scan gathers
+        batches in-program). Explicit cfg.epoch_scan wins; MDT_EPOCH_SCAN=1/0
+        forces the auto rule; auto = TPU (where the ~28 ms-RTT per-step
+        dispatch is the measured gap between wall and the roofline-saturated
+        device, docs/PERFORMANCE.md trace attribution). Single-host SIGTERM
+        preemption coarsens to epoch granularity while it is on."""
+        if self.cfg.epoch_scan is not None:
+            return bool(self.cfg.epoch_scan)
+        env = os.environ.get("MDT_EPOCH_SCAN", "").lower()
+        if env in ("1", "true"):
+            return True
+        if env in ("0", "false"):
+            return False
+        return jax.default_backend() == "tpu"
 
     def _get_sample_fn(self, used: np.ndarray, capture: Optional[bool] = None):
         if capture is None:
@@ -443,7 +480,6 @@ class Trainer:
                 epoch, epoch_total, cfg.scheduler_num_scale_timesteps
             )
             self.timesteps_used_epoch = used
-            step_fn = self._get_step_fn(used)
 
             losses = []
             n_batches = self.dataset.num_batches(cfg.batch_size)
@@ -458,42 +494,73 @@ class Trainer:
             # device (same rng stream as epoch_batches -> same membership,
             # bitwise-equal losses; tests/test_trainer_e2e.py pins it)
             use_dev_data = self._use_device_data()
-            batches = (
-                self.dataset.epoch_index_batches(rng, cfg.batch_size, start=skip)
-                if use_dev_data
-                else self.dataset.epoch_batches(rng, cfg.batch_size, start=skip)
-            )
-            with trace(cfg.profile_dir if epoch == profile_epoch else None):
-                for i, batch in enumerate(batches):
-                    data_key, step_key = jax.random.split(data_key)
-                    if batch is None:
-                        continue
-                    if use_dev_data:
-                        batch = self._gather_batch(batch)
-                    self.state, metrics = step_fn(
-                        self.state, self._put_batch(batch), step_key
-                    )
-                    losses.append(metrics)
-                    self.global_step += 1
-                    self._last_batch = batch
-                    if single_process and self._preempt_requested:
-                        break
-
-            # host sync once per epoch — as ONE stacked transfer: fetching
-            # each scalar individually costs a full host<->device round trip
-            # (28 ms over the axon tunnel), and an epoch's worth of metric
-            # dicts (~6 scalars x n_batches) was measured to dominate small
-            # epochs (3.5 vs ~13 steps/s on the 14-batch digits workload);
-            # the stacks below dispatch asynchronously and only the final
-            # np.asarray synchronizes
-            if losses:
-                keys = list(losses[0].keys())
-                mat = np.asarray(
-                    jnp.stack([jnp.stack([m[k] for k in keys]) for m in losses])
+            use_scan = use_dev_data and self._use_epoch_scan()
+            if use_scan:
+                # whole-epoch scan: identical batch membership and step-key
+                # stream as the loop below (rows come from the same rng; the
+                # scan body splits data_key per row exactly like the loop,
+                # and skipped rows only advance the chain)
+                rows = list(
+                    self.dataset.epoch_index_batches(rng, cfg.batch_size, start=skip)
                 )
-                losses = [
-                    {k: float(v) for k, v in zip(keys, row)} for row in mat
-                ]
+                n_skip = sum(r is None for r in rows)
+                for _ in range(n_skip):
+                    data_key = jax.random.split(data_key)[0]
+                sel_rows = [r for r in rows if r is not None]
+                if sel_rows:
+                    # initializes self._data_dev and doubles as the cadence
+                    # visuals' last batch
+                    self._last_batch = self._gather_batch(sel_rows[-1])
+                    sel = jnp.asarray(np.stack(sel_rows).astype(np.int32))
+                    epoch_fn = self._get_epoch_fn(used, len(sel_rows))
+                    with trace(cfg.profile_dir if epoch == profile_epoch else None):
+                        self.state, data_key, stacked = epoch_fn(
+                            self.state, self._data_dev, sel, data_key
+                        )
+                    self.global_step += len(sel_rows)
+                    mkeys = list(stacked.keys())
+                    mat = np.asarray(jnp.stack([stacked[k] for k in mkeys], axis=1))
+                    losses = [
+                        {k: float(v) for k, v in zip(mkeys, row)} for row in mat
+                    ]
+            else:
+                step_fn = self._get_step_fn(used)
+                batches = (
+                    self.dataset.epoch_index_batches(rng, cfg.batch_size, start=skip)
+                    if use_dev_data
+                    else self.dataset.epoch_batches(rng, cfg.batch_size, start=skip)
+                )
+                with trace(cfg.profile_dir if epoch == profile_epoch else None):
+                    for i, batch in enumerate(batches):
+                        data_key, step_key = jax.random.split(data_key)
+                        if batch is None:
+                            continue
+                        if use_dev_data:
+                            batch = self._gather_batch(batch)
+                        self.state, metrics = step_fn(
+                            self.state, self._put_batch(batch), step_key
+                        )
+                        losses.append(metrics)
+                        self.global_step += 1
+                        self._last_batch = batch
+                        if single_process and self._preempt_requested:
+                            break
+
+                # host sync once per epoch — as ONE stacked transfer: fetching
+                # each scalar individually costs a full host<->device round
+                # trip (28 ms over the axon tunnel), and an epoch's worth of
+                # metric dicts (~6 scalars x n_batches) was measured to
+                # dominate small epochs (3.5 vs ~13 steps/s on the 14-batch
+                # digits workload); the stacks below dispatch asynchronously
+                # and only the final np.asarray synchronizes
+                if losses:
+                    keys = list(losses[0].keys())
+                    mat = np.asarray(
+                        jnp.stack([jnp.stack([m[k] for k in keys]) for m in losses])
+                    )
+                    losses = [
+                        {k: float(v) for k, v in zip(keys, row)} for row in mat
+                    ]
             # failure detection (absent in the reference, SURVEY.md §5): a
             # non-finite loss poisons params, EMA, and every later checkpoint;
             # save a post-mortem checkpoint and stop instead of training on

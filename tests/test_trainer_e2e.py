@@ -250,3 +250,41 @@ def test_device_resident_data_bitwise(tmp_path, monkeypatch):
     host_fed = losses("0", "host")
     device_res = losses("1", "dev")
     assert host_fed == device_res  # bitwise: same floats, not just close
+
+
+def test_epoch_scan_matches_loop(tmp_path, monkeypatch):
+    """Whole-epoch lax.scan training (trainer._use_epoch_scan ->
+    train/step.py:make_train_epoch) must be invisible to training semantics:
+    the scan body splits the SAME data_key chain and gathers the SAME index
+    rows as the per-step loop, so per-epoch losses and final weights match
+    the loop path (same device-resident feed, scan forced off vs on)."""
+    from masked_diffusion_tpu.data.datasets import InMemoryDataset, make_synthetic
+
+    def run(scan_env, tag, resume_step=0):
+        monkeypatch.setenv("MDT_DEVICE_DATA", "1")
+        monkeypatch.setenv("MDT_EPOCH_SCAN", scan_env)
+        cfg = _cfg(tmp_path, num_epochs=2, save_images_epochs=99,
+                   sample_latent_shape="zero")
+        data, labels = make_synthetic(32, SIZE, seed=0)
+        trainer = Trainer(cfg, InMemoryDataset(data, labels))
+        dirs = Dir(task="train", content=f"scan_{tag}", dir_work=str(tmp_path),
+                   data_name="synthetic", data_size=SIZE, method=cfg.method)
+        result = trainer.train(0, cfg.num_epochs, resume_step=resume_step,
+                               dirs=dirs)
+        assert bool(trainer._epoch_cache) == (scan_env == "1")
+        leaf = np.asarray(jax.tree.leaves(trainer.state.ema_params)[0])
+        return result["loss_mean_epoch"], leaf, trainer.global_step
+
+    loop_losses, loop_leaf, loop_steps = run("0", "loop")
+    scan_losses, scan_leaf, scan_steps = run("1", "scan")
+    assert loop_steps == scan_steps
+    np.testing.assert_allclose(scan_losses, loop_losses, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(scan_leaf, loop_leaf, rtol=1e-6, atol=1e-7)
+
+    # mid-epoch resume replay: skipping the first batch must advance the key
+    # chain identically on both paths (the scan fast-forwards the skipped
+    # rows' splits; the loop consumes None placeholders)
+    loop_r = run("0", "loop_r", resume_step=1)
+    scan_r = run("1", "scan_r", resume_step=1)
+    assert loop_r[2] == scan_r[2]
+    np.testing.assert_allclose(scan_r[0], loop_r[0], rtol=1e-6, atol=1e-7)

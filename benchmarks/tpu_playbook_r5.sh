@@ -54,7 +54,7 @@ for SEC in trace attn4k scan reuse; do
     *) continue ;;
   esac
   case $SEC in
-    trace) run trace 1200 python benchmarks/trace_train.py ;;
+    trace) run trace 2400 python benchmarks/trace_train.py ;;
     attn4k) run attn4k 2400 env CHECK=attn4k python benchmarks/check_fused_tpu.py ;;
     scan)  run scan 1800 env CHECK=scan python benchmarks/check_fused_tpu.py ;;
     reuse)

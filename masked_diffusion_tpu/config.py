@@ -122,7 +122,11 @@ class Config:
     # sampling-only encoder reuse ("Faster Diffusion", arXiv:2312.09608;
     # PAPERS.md): run the UNet encoder every K-th reverse step and replay its
     # cached activations between — an opt-in approximation trading sample
-    # fidelity for the encoder's share of per-step FLOPs/bytes; 0/1 = exact
+    # fidelity for the encoder's share of per-step FLOPs/bytes; 0/1 = exact.
+    # MEASURED quality-destroying at long-T masked sampling (trained model,
+    # T=1421: K=2 −10% time but samples anti-correlated with exact —
+    # docs/PERFORMANCE.md "encoder reuse" fidelity verdict). Leave at 0
+    # unless the schedule is very short and you re-verify quality.
     encoder_reuse: int = 0
     # route to the interpolation sampler (Sampler.sample's 3rd arg,
     # sampler.py:102-106,264-366 — dead in the reference, live here): when

@@ -28,10 +28,12 @@ Sections, in priority order:
   3. training — flagship jitted train step steps/sec.
 
 Fitting all three in the budget (the r4 failure mode was exactly one
-section fitting): the two extra sections' programs are WARMED UP (compile +
-first run) in parallel daemon threads as soon as the headline record is
-emitted — their tunneled XLA compiles (~100-250 s each) overlap instead of
-serializing — and the timed bursts then run serialized on the main thread.
+section fitting): the two extra sections' programs AOT-compile in parallel
+daemon threads as soon as the headline record is emitted — their tunneled
+XLA compiles (~100-250 s each) overlap instead of serializing — and the
+timed bursts then run serialized on the main thread. The headline compiles
+ALONE first: in contended tunnel weather, concurrent big compiles starve
+each other (measured: zero sections in 885 s when all three raced).
 The indexing_log scan is also shortened to BENCH_IDX_SCAN_STEPS (default
 200) steps of the full deduped T=4096 table: ms/step is scan-length
 invariant (the in-loop playbook arms rely on the same law), and the full
@@ -301,7 +303,13 @@ def main() -> int:
     param_shapes = jax.eval_shape(
         lambda k: model.init(k, x0, jnp.zeros((1,))), jax.random.PRNGKey(0)
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), param_shapes)
+    # ONE dispatch for the whole zeros tree: a per-leaf jnp.zeros would cost
+    # ~250 tunnel round trips (28 ms each in GOOD weather; multi-second when
+    # the shared chip is contended — measured 2026-08-19 evening: a 20-round-
+    # trip probe exceeded 120 s), which alone can eat the driver budget
+    params = jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), param_shapes)
+    )()
     n_params = count_params(params)
 
     extra = {
@@ -332,17 +340,20 @@ def main() -> int:
     # nothing)
     emitter.emit(result)
 
-    # --------------- build ALL THREE programs; AOT-compile in parallel
+    # --------------- build ALL THREE programs; AOT-compile headline-first
     # Tunneled XLA compiles are the whole cost here and their duration swings
-    # 5x with server weather (74 s and 370+ s for the SAME headline program
-    # measured hours apart). All three compiles are dispatched as AOT
-    # lower().compile() in daemon threads immediately — the compile server
-    # handles them concurrently (measured r5) — and each section's device
-    # runs execute serialized on the main thread as its executable lands,
-    # headline first. Worst case is setup + max(compile) + ~45 s of runs
-    # instead of the serial chain that produced the r4/r5 skip rounds.
-    # AOT also keeps warmups OFF the device: no first-run can contend with
-    # a timed burst. BENCH_EXTRA_PARALLEL=0 compiles serially instead.
+    # wildly with server weather (74 s and 600+ s for the SAME headline
+    # program measured hours apart; in contended weather even `lower()` — a
+    # 2 s host job on the CPU backend — took 308 s through the tunnel). The
+    # HEADLINE therefore gets the tunnel to itself: its AOT lower().compile()
+    # runs first, and the two extra sections' compiles start (in parallel
+    # daemon threads, overlapping each other and the headline's timed device
+    # runs) only once the headline executable has landed. Racing all three
+    # through a sick tunnel at once starved the headline outright (zero
+    # sections in 885 s, 2026-08-19 evening) — don't re-try parallel-from-
+    # the-start. AOT keeps warmups OFF the device: no first-run can contend
+    # with a timed burst. BENCH_EXTRA_PARALLEL=0 compiles the extras one at
+    # a time instead (for diagnosing compile-server contention).
     import threading
 
     from masked_diffusion_tpu.sample.loop import _use_fused_degrade
@@ -369,9 +380,19 @@ def main() -> int:
     # the ~2.3 GB fp32 state updates in place — as in Trainer
     lr = build_lr_schedule("cosine", 1e-4, 0, 1000)
     tx = build_optimizer("adamw", lr, 1.0)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), (batch, data_size, data_size, 3), tx
+    # shape-only state, same reasoning as `params` above: create_train_state's
+    # real model.init is a full tunneled compile spent on values a throughput
+    # measurement never reads; zeros keep every step finite (loss/grads are
+    # ordinary finite arrays) and step timing is value-independent
+    state_shapes = jax.eval_shape(
+        lambda k: create_train_state(
+            model, k, (batch, data_size, data_size, 3), tx
+        ),
+        jax.random.PRNGKey(0),
     )
+    state = jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), state_shapes)
+    )()
     step_fn = make_train_step(model, schedule, cfg, tx, used, lr, donate=True)
     batch_data = jnp.asarray(
         np.random.default_rng(0).uniform(
@@ -402,16 +423,20 @@ def main() -> int:
         )
         for name, fn, args in jobs
     }
-    if parallel_extras:
-        for t in threads.values():
-            t.start()
-    else:
-        threads["headline"].start()  # extras start after the headline lands
+    threads["headline"].start()  # the headline owns the tunnel until it lands
 
     def wait_compiled(name, min_slack=15.0):
         while threads[name].is_alive() and _remaining() > min_slack:
             time.sleep(0.5)
         return name in compiled
+
+    def start_extras():
+        for name in ("training", "indexing_log"):
+            if not threads[name].is_alive() and name not in compiled:
+                if name not in errors:
+                    threads[name].start()
+                if not parallel_extras:
+                    threads[name].join()
 
     # ---------------------------------------------------------------- headline
     if wait_compiled("headline"):
@@ -442,6 +467,9 @@ def main() -> int:
         if "headline" in errors:
             extra["headline_error"] = errors["headline"]
     emitter.emit(result)
+    # extras start only now: their lower()/compile RPCs must not share the
+    # tunnel with the headline's compile or its timed burst
+    start_extras()
 
     # ------------------------- extra sections: training and indexing+log
     def run_train_burst():
@@ -492,11 +520,6 @@ def main() -> int:
         extra["sections"].append("indexing_log")
 
     bursts = {"training": run_train_burst, "indexing_log": run_idx_burst}
-    if not parallel_extras:
-        for name in ("training", "indexing_log"):
-            if _remaining() > compiled.get("headline_compile_sec", 120.0) + 30:
-                threads[name].start()
-                threads[name].join()
     pending = dict(bursts)
     while pending and _remaining() > 15:
         for name in list(pending):
